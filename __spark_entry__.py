@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` aggregates every implemented operator registry
+(SURVEY.md §2 + the training-data suites); ``oracle_sql()`` exposes the
+DuckDB-equivalent SQL for all SQL-expressible entries.
 """
 
 from __future__ import annotations
@@ -13,26 +11,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clinical_trials_etl_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+_REGISTRIES = [
+    analytics.QUERIES,
+    textstats.QUERIES,
+    dedup.QUERIES,
+    similarity.QUERIES,
+    multimodal.QUERIES,
+]
+
+
+def _merged() -> dict[str, tuple]:
+    out: dict[str, tuple] = {}
+    for reg in _REGISTRIES:
+        overlap = out.keys() & reg.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(reg)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (TPC-H Q1 shape, A11)."""
+    return analytics.q_a11_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _merged().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _merged().items() if sql is not None}

@@ -1,0 +1,255 @@
+"""Deduplication suite over ``documents`` — first-class training-data ops.
+
+Scale design notes (100 TB):
+- exact dedup: hash-groupBy on a fingerprint — one shuffle keyed by the
+  digest, uniform by construction (cryptographic hash), no skew.
+- MinHash+LSH: shingling and the k minhashes are pure JVM expressions
+  (xxhash64 + array ops) — no Python, no UDF; candidate generation is a
+  self-equi-join on (band_id, band_hash) buckets, which Catalyst executes
+  as a shuffle hash join on a well-distributed key. Pairwise work is
+  bounded by bucket size, never O(n^2).
+- SimHash: 64-bit signature from token hashes, banded the same way;
+  hamming verification uses bit_count(xor) JVM-side.
+- n-gram Jaccard: exact verification join, used on LSH candidates (here
+  also demonstrated standalone on a bounded subset for the oracle).
+- embedding near-dup: see operators/similarity.py for the ANN scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MINHASH = 32
+N_BANDS = 8  # rows per band = N_MINHASH // N_BANDS = 4
+SHINGLE_K = 3
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _shingles(col):
+    """k-word shingles as strings (JVM-side; sequence+slice, no UDF)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - SHINGLE_K + 1),
+                lambda i: F.array_join(F.slice(toks, i, SHINGLE_K), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via md5 fingerprint group-count (reference analog:
+    DuplicateKeyError accounting, mongodb_storage.py:422-431)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.count("*").alias("copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    ).orderBy("keeper_doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY fp ORDER BY keeper_doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity for candidate pairs sharing at
+    least one shingle (bounded to doc_id < 300 so the oracle join stays
+    cheap; the unbounded path goes through MinHash-LSH below)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    ex = d.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 300)
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + array<long> of N_MINHASH min-hashes, all JVM expressions."""
+    sh = _shingles(F.col(text_col))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(N_MINHASH)
+        ]
+    )
+    return df.select("doc_id", sig.alias("sig"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle -> 32 minhashes -> 8 bands of 4 ->
+    bucket self-join -> estimated Jaccard = fraction of agreeing
+    minhashes. Spark-only (xxhash64 has no DuckDB equivalent); the
+    driver records a rows-only check, and tests/test_dedup.py pins the
+    semantics against a pure-Python reference implementation."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    r = N_MINHASH // N_BANDS
+    # band hash = xxhash64 over the band's slice of the signature
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band_id"),
+    ).withColumn(
+        "band_hash",
+        F.xxhash64(F.col("band_id"), F.slice("sig", F.col("band_id") * r + 1, r)),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_column(text_col):
+    """64-bit SimHash as a JVM expression: per-token xxhash64, per-bit
+    +1/-1 vote, sign -> bit, OR-packed into a long."""
+    # Build via SQL expr for readability/efficiency of the nested aggregate.
+    return F.expr(
+        """
+        aggregate(
+          sequence(0, 63),
+          CAST(0 AS BIGINT),
+          (acc, b) -> acc | IF(
+            aggregate(
+              filter(split(text, ' '), x -> x != ''),
+              CAST(0 AS BIGINT),
+              (v, tok) -> v + IF((shiftright(xxhash64(tok), b) & 1) = 1, 1, -1)
+            ) > 0,
+            shiftleft(CAST(1 AS BIGINT), b),
+            CAST(0 AS BIGINT)
+          )
+        )
+        """
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit signatures, 4 bands of 16 bits for
+    candidate buckets, hamming distance <= 6 via bit_count(xor).
+    Spark-only (rows-only driver check; semantics pinned in tests)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash_column(F.col("text")).alias("sh")
+    )
+    bands = d.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
+    ).withColumn(
+        "band_val", F.expr("shiftrightunsigned(sh, band_id * 16) & 65535")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+}

@@ -1,0 +1,153 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic stub behind ``_decode_payload`` (clearly marked); the
+Spark-side plumbing — binary schema, Arrow batch shape, ``mapInPandas``
+signature, partitioning — is real and tested. The payload column here is
+synthesized from ``documents.text`` (UTF-8 bytes) so metadata extraction
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_DIM = 8
+
+# Set True only in environments with real codecs (PIL/ffmpeg); the
+# sandbox ships none, per the build brief.
+REAL_DECODE_AVAILABLE = False
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + declared media type."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+
+def _decode_payload(payload: bytes) -> bytes:
+    """STUB: real image/audio decode would go here (PIL.Image.open /
+    soundfile.read). Not available in this container."""
+    if REAL_DECODE_AVAILABLE:
+        raise NotImplementedError("wire a real codec here")
+    return payload  # deterministic fake: identity "decode"
+
+
+def q_mm_metadata(spark, sf_dir):
+    """Typed metadata over the binary column — pure JVM (no UDF):
+    byte length + content digest."""
+    d = with_payload(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "media_type",
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("digest"),
+    ).orderBy("doc_id")
+
+
+SQL_MM_METADATA = """
+SELECT doc_id, 'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Feature extraction over binary payloads via ``mapInPandas``:
+    Arrow record batches in, fixed-width float feature vectors out.
+    The "features" are a deterministic fold of the decoded bytes (stub
+    decode), so re-runs are reproducible; swap ``_decode_payload`` for a
+    real codec to get real features with the identical Spark plan.
+    Spark-only (rows-only driver check; determinism pinned in tests)."""
+    d = with_payload(_t(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = _decode_payload(bytes(payload))
+                digest = hashlib.sha256(raw).digest()
+                feats.append(
+                    [
+                        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+                        for i in range(FEATURE_DIM)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    schema = "doc_id long, n_bytes long, features array<double>"
+    out = d.mapInPandas(extract, schema=schema)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    ).orderBy("doc_id")
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Frame/segment sampling plumbing: split each payload into fixed
+    1 KiB "frames", keep every 4th — the partition/batch shape a video
+    frame-sampler needs, expressed as explode over JVM-computed offsets,
+    with the byte slicing done by ``substring`` on the binary column."""
+    d = _t(spark, sf_dir, "documents")
+    frame_size = 64
+    n_frames = F.ceil(F.length("text") / frame_size).cast("int")
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_id"),
+        F.col("text"),
+    ).filter(F.col("frame_id") % 4 == 0)
+    # frame payload as binary (documents.text is ASCII, so char offsets ==
+    # byte offsets; a real video sampler would slice the binary directly)
+    frame_payload = F.encode(
+        F.substring(F.col("text"), F.col("frame_id") * frame_size + 1, F.lit(frame_size)),
+        "UTF-8",
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_id").cast("long").alias("frame_id"),
+        F.octet_length(frame_payload).cast("long").alias("frame_bytes"),
+        F.md5(frame_payload).alias("frame_digest"),
+    ).orderBy("doc_id", "frame_id")
+
+
+SQL_MM_FRAME = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(CEIL(length(text) / 64.0) AS INT))) AS frame_id
+  FROM documents
+)
+SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+       CAST(octet_length(encode(substring(text, CAST(frame_id * 64 + 1 AS INT), 64)))
+            AS BIGINT) AS frame_bytes,
+       md5(substring(text, CAST(frame_id * 64 + 1 AS INT), 64)) AS frame_digest
+FROM f WHERE frame_id % 4 = 0
+ORDER BY doc_id, frame_id
+"""
+
+
+QUERIES = {
+    "mm_metadata": (q_mm_metadata, SQL_MM_METADATA),
+    "mm_feature_extract": (q_mm_feature_extract, None),
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME),
+}
