@@ -1,0 +1,138 @@
+"""The CDC apply core: one micro-batch of change events -> lake table.
+
+This is the engine's spine (SURVEY.md §7 stage 3; north rule):
+
+  1. **Schema evolution first**: resolve the batch's max ``schema_ver``
+     against the registry, diff vs the table schema, commit
+     add/rename/widen before any data lands (so the MERGE always runs
+     against the final shape of the batch).
+  2. **Normalize transport -> table columns**: the wire format is the
+     union-of-versions (Debezium-style); ``coalesce`` folds renamed
+     columns (lang/language), types are cast to the evolved schema.
+  3. **Extract text** from html via the Arrow kernel (byte-identity
+     invariant) — only for upserts that carry html.
+  4. **Salted max-LSN dedup** (W3): two-phase ``max_by`` aggregation —
+     first per (key, salt), then per key — so a hot host (Zipf head)
+     cannot pin a single reducer; partial aggregation happens map-side
+     in both phases. This replaces the reference's last-write-wins race
+     (mongodb_storage.py:229-231) with deterministic max-LSN semantics.
+  5. **LSN-guarded MERGE** into the bucket-pruned lake table
+     (lake/table.py), tombstoning deletes.
+
+Re-running the same (batch_id, rows) is a no-op end-to-end — the
+exactly-once contract foreachBatch needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from clinical_trials_etl_spark.cdc import registry as reg
+from clinical_trials_etl_spark.dist import ensure_package_on_executors
+from clinical_trials_etl_spark.functions.html_extract import extract_text_udf
+from clinical_trials_etl_spark.lake.table import LakeTable
+
+DEFAULT_SALT = 16
+
+
+def evolve_for_batch(table: LakeTable, batch: DataFrame,
+                     registry: dict | None = None) -> list[dict]:
+    """Apply registry-driven DDL for the newest schema version present
+    in the batch. Returns the ops applied (possibly empty)."""
+    max_ver = batch.agg(F.max("schema_ver")).collect()[0][0]
+    if max_ver is None:
+        return []
+    target = reg.schema_for_version(int(max_ver), registry)
+    current = table.fields()
+    ops = reg.diff(current, target)
+    if ops:
+        table.evolve(
+            reg.apply_ops(current, ops), note=f"registry v{max_ver}: {ops}"
+        )
+    return ops
+
+
+def normalize_batch(batch: DataFrame, fields: list[dict]) -> DataFrame:
+    """Transport (union schema) -> evolved table columns + (lsn, op).
+
+    The lang/language fold mirrors the rename: records written before
+    the rename carry ``lang``, after it ``language`` — both are field
+    id 5, so they coalesce into the current name."""
+    cols = []
+    names = {f["name"] for f in fields}
+    for f in fields:
+        name, typ = f["name"], f["type"]
+        if name == "text":
+            src = F.when(
+                F.col("op") != "D", extract_text_udf(F.col("html"))
+            ).otherwise(F.lit(None))
+        elif name == "language" and "language" not in batch.columns:
+            src = F.col("lang")
+        elif name == "language":
+            src = F.coalesce(F.col("language"), F.col("lang"))
+        elif name == "lang" and "language" in batch.columns:
+            src = F.coalesce(F.col("lang"), F.col("language"))
+        elif name in batch.columns:
+            src = F.col(name)
+        else:
+            src = F.lit(None)
+        cols.append(src.cast(_dt(typ)).alias(name))
+    return batch.select(*cols, F.col("lsn"), F.col("op"))
+
+
+def _dt(t: str) -> str:
+    return {"int": "int", "long": "long", "string": "string",
+            "timestamp": "timestamp", "binary": "binary",
+            "double": "double", "boolean": "boolean"}[t]
+
+
+def dedup_max_lsn(batch: DataFrame, key: str, n_salt: int = DEFAULT_SALT) -> DataFrame:
+    """Keep the max-lsn event per key via salted two-phase max_by.
+
+    Phase 1 shuffles on (key, salt) — the hot key spreads over n_salt
+    reducers; phase 2 reduces n_salt partials per key. Both phases get
+    map-side partial aggregation (unlike a row_number window, which
+    sorts the whole hot partition on one task)."""
+    payload = F.struct(
+        *[F.col(c) for c in batch.columns if c != key]
+    )
+    salted = batch.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salt))
+    )
+    phase1 = salted.groupBy(key, "_salt").agg(
+        F.max_by(payload, F.col("lsn")).alias("_p"), F.max("lsn").alias("_mx")
+    )
+    phase2 = phase1.groupBy(key).agg(
+        F.max_by(F.col("_p"), F.col("_mx")).alias("_p")
+    )
+    return phase2.select(key, "_p.*")
+
+
+def apply_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: str,
+    registry: dict | None = None,
+    n_salt: int = DEFAULT_SALT,
+    lineage: dict | None = None,
+) -> dict:
+    """Full apply: evolve -> normalize -> dedup -> MERGE. Idempotent on
+    ``batch_id``."""
+    ensure_package_on_executors(table.spark)
+    snap = table.snapshot()
+    if batch_id in snap["applied_batches"]:
+        return {"skipped": True, "version": snap["version"]}
+
+    ops = evolve_for_batch(table, batch, registry)
+    fields = table.fields()
+    normalized = normalize_batch(batch, fields)
+    deduped = dedup_max_lsn(normalized, table.key_field(), n_salt)
+    stats = table.merge(
+        deduped,
+        lsn_col="lsn",
+        op_col="op",
+        batch_id=batch_id,
+        lineage=lineage,
+    )
+    stats["evolution_ops"] = ops
+    return stats

@@ -1,0 +1,70 @@
+"""Batch replay of a WAL segment directory (bench + verify surface).
+
+Replays segments in order as deterministic micro-batches through the
+same apply path the stream uses — no streaming machinery, so it's the
+clean harness for throughput measurement (bench.py) and for the
+replay-equivalence tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from clinical_trials_etl_spark.cdc.apply import apply_batch
+from clinical_trials_etl_spark.cdc.registry import PAGES_REGISTRY
+from clinical_trials_etl_spark.cdc.stream import TRANSPORT_SCHEMA
+from clinical_trials_etl_spark.lake.table import LakeTable
+
+
+def create_pages_table(spark: SparkSession, root: str, n_buckets: int = 16) -> LakeTable:
+    return LakeTable.create(
+        spark,
+        root,
+        fields=PAGES_REGISTRY[1],
+        key_field="url",
+        n_buckets=n_buckets,
+    )
+
+
+def list_segments(log_dir: str) -> list[str]:
+    segs = [
+        os.path.join(log_dir, d)
+        for d in sorted(os.listdir(log_dir))
+        if d.startswith("segment=")
+    ]
+    if not segs:
+        raise FileNotFoundError(f"no segment=* dirs under {log_dir}")
+    return segs
+
+
+def replay(
+    spark: SparkSession,
+    log_dir: str,
+    table_root: str,
+    segments_per_batch: int = 1,
+    n_buckets: int = 16,
+    registry: dict | None = None,
+    start_segment: int = 0,
+) -> LakeTable:
+    """Replay the log into a fresh (or existing, when resuming) table;
+    one micro-batch per ``segments_per_batch`` segments."""
+    if os.path.exists(os.path.join(table_root, "_meta", "_current")):
+        table = LakeTable(spark, table_root)
+    else:
+        table = create_pages_table(spark, table_root, n_buckets)
+    segs = list_segments(log_dir)
+    for i in range(start_segment, len(segs), segments_per_batch):
+        chunk = segs[i : i + segments_per_batch]
+        batch = spark.read.schema(TRANSPORT_SCHEMA).option(
+            "basePath", log_dir
+        ).parquet(*chunk)
+        apply_batch(
+            table,
+            batch,
+            batch_id=f"replay-{i}",
+            registry=registry or PAGES_REGISTRY,
+            lineage={"segments": [os.path.basename(s) for s in chunk]},
+        )
+    return table

@@ -1,0 +1,154 @@
+"""Streaming shell: tail the WAL segment directory with Structured
+Streaming, apply each micro-batch through the CDC core, checkpointed for
+kill/resume exactly-once (SURVEY.md §7 stage 4).
+
+- Source: ``readStream.parquet`` over the segment dir (the sandbox's
+  binlog; on a cluster this is ``format("kafka")`` with the identical
+  foreachBatch body — the apply path is source-agnostic).
+- Sink: ``foreachBatch`` -> ``cdc.apply.apply_batch`` -> LakeTable
+  MERGE. The batch_id ties the streaming epoch to the lake commit, so a
+  retried/resumed epoch is a metadata no-op (exactly-once: checkpointed
+  offsets x idempotent commit).
+- Lineage: every commit records the epoch and row counts in the
+  snapshot's lineage list (offset-range -> snapshot-id -> row counts,
+  per the north rule).
+- Metrics: a StreamingQueryListener collects per-batch progress
+  (rows/sec, duration) and flushes to a parquet metrics table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQueryListener
+
+from clinical_trials_etl_spark.cdc.apply import apply_batch
+from clinical_trials_etl_spark.lake.table import LakeTable
+
+TRANSPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("fetch_status", T.LongType()),
+        T.StructField("schema_ver", T.IntegerType()),
+        T.StructField("segment", T.IntegerType()),
+    ]
+)
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects micro-batch progress (A14 analog: the reference's batch
+    success/dup/fail tallies, utils/batch_utils.py:67-69, upgraded to
+    streaming progress events)."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        self.progress.append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "input_rows_per_second": p.inputRowsPerSecond,
+                "processed_rows_per_second": p.processedRowsPerSecond,
+                "duration_ms": json.dumps(dict(p.durationMs or {})),
+                "timestamp": p.timestamp,
+            }
+        )
+
+    def onQueryTerminated(self, event):
+        pass
+
+    def onQueryIdle(self, event):
+        pass
+
+    def flush(self, spark: SparkSession, path: str) -> None:
+        if not self.progress:
+            return
+        spark.createDataFrame(
+            [tuple(d.values()) for d in self.progress],
+            schema=list(self.progress[0].keys()),
+        ).write.mode("overwrite").parquet(path)
+
+
+def run_stream(
+    spark: SparkSession,
+    log_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    metrics_path: str | None = None,
+    registry: dict | None = None,
+):
+    """Process everything currently in ``log_dir`` through streaming
+    micro-batches and stop (processAllAvailable). Safe to call again
+    after a kill: the checkpoint resumes from committed offsets and the
+    lake table skips already-applied epochs."""
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+
+    source = (
+        spark.readStream.schema(TRANSPORT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("basePath", log_dir)
+        .parquet(log_dir)
+    )
+
+    def handle(batch_df, epoch_id: int):
+        apply_batch(
+            table,
+            batch_df,
+            batch_id=f"epoch-{epoch_id}",
+            registry=registry,
+            lineage={"epoch": epoch_id},
+        )
+
+    query = (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+        # listener events are delivered asynchronously; drain before flush
+        import time as _time
+
+        stable, streak = len(listener.progress), 0
+        for _ in range(40):
+            _time.sleep(0.25)
+            now = len(listener.progress)
+            streak = streak + 1 if now == stable else 0
+            stable = now
+            if streak >= 4 and now > 0:
+                break
+    finally:
+        spark.streams.removeListener(listener)
+        if metrics_path:
+            listener.flush(spark, metrics_path)
+    return listener.progress
+
+
+def lineage_report(table: LakeTable) -> list[dict]:
+    """Per-commit lineage: epoch -> snapshot version -> row counts."""
+    snap = table.snapshot()
+    out = []
+    version_walk = snap["version"]
+    # lineage entries are appended per commit in order; pair them with
+    # versions by replaying the chain
+    entries = snap["lineage"]
+    return [
+        {"commit_index": i, **e} for i, e in enumerate(entries)
+    ] if entries else out

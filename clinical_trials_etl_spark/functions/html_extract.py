@@ -1,0 +1,187 @@
+"""Arrow-vectorized HTML extraction kernels (the P1-P3/F1-F2/F17-F19
+surface of SURVEY.md §2, re-expressed as pandas UDFs over a ``binary``
+html column — zero per-row Python at the plan level, per BASELINE.json
+input_hint).
+
+Reference semantics reproduced:
+- ``extract_text``: whole-document text, ``.strip()``-ed
+  (trials_extractor/utils/html_utils.py:109-122).
+- ``clean_text``: \\s+ collapse -> strip -> fixed unicode replacements
+  (trials_extractor/processors/cleaner.py:10-35). The composition
+  ``clean_text(extract_text(html))`` is the byte-identity invariant
+  checked per url by tests/test_html_golden.py.
+- selector field extraction with '' default
+  (trials_extractor/extractors/base.py:88-101).
+- table -> records, skipping ragged rows (html_utils.py:124-164).
+- <ul>/<ol> -> list of strings (html_utils.py:166-179).
+- label/value pairs from p.bolder labels, ':' suffix stripped
+  (html_utils.py:181-210).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clinical_trials_etl_spark.functions import htmldom
+
+_WS_RE = re.compile(r"\s+")
+
+# same replacement set as functions/normalize.py::_CLEAN_REPLACEMENTS
+_REPLACEMENTS = [
+    (" ", " "),
+    ("’", "'"),
+    ("–", "-"),
+    ("—", "-"),
+    ("“", '"'),
+    ("”", '"'),
+]
+
+
+def clean_text_py(text: str) -> str:
+    """Reference clean_text semantics, byte-for-byte (cleaner.py:10-35).
+    Note \\s is unicode-aware in Python, so U+00A0 is already collapsed
+    by the first step — the explicit replacement mirrors the reference's
+    (redundant but harmless) second pass."""
+    if not text:
+        return text
+    out = _WS_RE.sub(" ", text).strip()
+    for src, dst in _REPLACEMENTS:
+        out = out.replace(src, dst)
+    return out
+
+
+def _decode(payload) -> str:
+    if payload is None:
+        return ""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        return bytes(payload).decode("utf-8", errors="replace")
+    return str(payload)
+
+
+def _extract_text_one(payload) -> str:
+    root = htmldom.parse(_decode(payload))
+    return clean_text_py(root.text.strip())
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """binary html -> cleaned whole-document text (F1+F2)."""
+    return html.map(_extract_text_one)
+
+
+def make_field_extractor(selector: str):
+    """Pandas UDF extracting one CSS-selected field per document with the
+    reference's '' default (P1/P2; extractors/base.py:88-101)."""
+
+    @F.pandas_udf(T.StringType())
+    def field_udf(html: pd.Series) -> pd.Series:
+        def one(payload):
+            root = htmldom.parse(_decode(payload))
+            node = htmldom.select_one(root, selector)
+            if node is None:
+                return ""
+            return clean_text_py(node.text.strip())
+
+        return html.map(one)
+
+    return field_udf
+
+
+def make_fields_extractor(selectors: dict[str, str]):
+    """One UDF evaluating a whole selector table (the reference's
+    config/selectors.py projection spec) in a single parse per document,
+    returning a struct. This is the scale-correct shape: N fields cost
+    one DOM build, not N."""
+    names = list(selectors)
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+
+    @F.pandas_udf(schema)
+    def fields_udf(html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for payload in html:
+            root = htmldom.parse(_decode(payload))
+            row = {}
+            for name in names:
+                node = htmldom.select_one(root, selectors[name])
+                row[name] = (
+                    "" if node is None else clean_text_py(node.text.strip())
+                )
+            rows.append(row)
+        return pd.DataFrame(rows, columns=names)
+
+    return fields_udf
+
+
+_TABLE_SCHEMA = T.ArrayType(
+    T.MapType(T.StringType(), T.StringType())
+)
+
+
+@F.pandas_udf(_TABLE_SCHEMA)
+def extract_table_udf(html: pd.Series) -> pd.Series:
+    """First <table> -> array<map<header,cell>>, ragged rows skipped
+    (F17; html_utils.py:124-164)."""
+
+    def one(payload):
+        root = htmldom.parse(_decode(payload))
+        table = htmldom.select_one(root, "table")
+        if table is None:
+            return []
+        headers = [
+            th.text.strip() for th in htmldom.select(table, "thead th")
+        ]
+        if not headers:
+            first_row = htmldom.select_one(table, "tr")
+            if first_row is not None:
+                headers = [
+                    th.text.strip() for th in htmldom.select(first_row, "th")
+                ]
+        if not headers:
+            return []
+        body = htmldom.select_one(table, "tbody") or table
+        rows = []
+        for tr in htmldom.select(body, "tr"):
+            cells = [td.text.strip() for td in htmldom.select(tr, "td")]
+            if len(cells) == len(headers):
+                rows.append(dict(zip(headers, cells)))
+        return rows
+
+    return html.map(one)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_list_udf(html: pd.Series) -> pd.Series:
+    """First <ul>/<ol> -> array of item texts (F18; html_utils.py:166-179)."""
+
+    def one(payload):
+        root = htmldom.parse(_decode(payload))
+        lst = htmldom.select_one(root, "ul, ol")
+        if lst is None:
+            return []
+        return [li.text.strip() for li in htmldom.select(lst, "li")]
+
+    return html.map(one)
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+def extract_label_values_udf(html: pd.Series) -> pd.Series:
+    """p.bolder label -> next <p> value pairs, ':' suffix stripped from
+    labels (F19/P3; html_utils.py:181-230)."""
+
+    def one(payload):
+        root = htmldom.parse(_decode(payload))
+        result = {}
+        for label in htmldom.select(root, "p.bolder"):
+            key = label.text.strip()
+            if key.endswith(":"):
+                key = key[:-1]
+            value_node = label.find_next("p")
+            if value_node is not None:
+                result[key] = value_node.text.strip()
+        return result
+
+    return html.map(one)

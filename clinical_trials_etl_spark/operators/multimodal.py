@@ -17,6 +17,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from clinical_trials_etl_spark.dist import ensure_package_on_executors
+
 FEATURE_DIM = 8
 
 # Set True only in environments with real codecs (PIL/ffmpeg); the
@@ -72,6 +74,7 @@ def q_mm_feature_extract(spark, sf_dir):
     decode), so re-runs are reproducible; swap ``_decode_payload`` for a
     real codec to get real features with the identical Spark plan.
     Spark-only (rows-only driver check; determinism pinned in tests)."""
+    ensure_package_on_executors(spark)
     d = with_payload(_t(spark, sf_dir, "documents"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,156 @@
+"""Replay-equivalence tests (SURVEY.md §5 test 1 + BASELINE.json): the
+distributed CDC path must converge to the exact final state computed by
+the independent in-memory fold, under duplicates, out-of-order LSNs,
+deletes, schema evolution, and kill/resume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_trials_etl_spark.cdc.apply import apply_batch, dedup_max_lsn
+from clinical_trials_etl_spark.cdc.replay import create_pages_table, replay
+from clinical_trials_etl_spark.cdc.registry import PAGES_REGISTRY, diff
+from clinical_trials_etl_spark.datagen.changelog import (
+    LogSpec,
+    changelog_df,
+    write_changelog_segments,
+)
+from clinical_trials_etl_spark.datagen.reference_fold import fold_changelog
+
+SPEC = LogSpec(n_events=3000, n_hosts=12, paths_per_host=40, seed=42)
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wal"))
+    write_changelog_segments(spark, SPEC, d, n_segments=6)
+    return d
+
+
+@pytest.fixture(scope="module")
+def expected(spark, log_dir):
+    rows = [
+        r.asDict()
+        for r in spark.read.option("basePath", log_dir).parquet(log_dir).collect()
+    ]
+    return fold_changelog(rows)
+
+
+def _final_state(table) -> dict:
+    rows = table.read().collect()
+    return {
+        r["url"]: {
+            "url": r["url"],
+            "warc_ts": r["warc_ts"],
+            "html": bytes(r["html"]) if r["html"] is not None else None,
+            "text": r["text"],
+            "language": r["language"],
+            "fetch_status": r["fetch_status"],
+        }
+        for r in rows
+    }
+
+
+def _assert_state_equal(got: dict, want: dict):
+    assert set(got) == set(want), (
+        f"url sets differ: extra={sorted(set(got) - set(want))[:3]} "
+        f"missing={sorted(set(want) - set(got))[:3]}"
+    )
+    for url in want:
+        assert got[url] == want[url], f"row mismatch for {url}:\n{got[url]}\n{want[url]}"
+
+
+def test_full_replay_matches_fold(spark, log_dir, expected, tmp_path):
+    table = replay(spark, log_dir, str(tmp_path / "tbl"), segments_per_batch=2)
+    _assert_state_equal(_final_state(table), expected)
+    # final schema must be the evolved one (v4: language + fetch_status long)
+    names = {f["name"]: f["type"] for f in table.fields()}
+    assert names["language"] == "string"
+    assert names["fetch_status"] == "long"
+    assert diff(table.fields(), PAGES_REGISTRY[4]) == []
+
+
+def test_kill_resume_converges_identically(spark, log_dir, expected, tmp_path):
+    """Stop mid-replay, then resume INCLUDING re-applying an already
+    applied batch (simulating foreachBatch retry after failure) — the
+    final snapshot must be identical."""
+    root = str(tmp_path / "tbl2")
+    replay(spark, log_dir, root, segments_per_batch=1, start_segment=0)
+    # "crash": now re-run the whole replay over the same table — every
+    # batch_id is already applied, so all merges must no-op
+    table = replay(spark, log_dir, root, segments_per_batch=1, start_segment=0)
+    v_before = table.current_version()
+    table2 = replay(spark, log_dir, root, segments_per_batch=1, start_segment=3)
+    assert table2.current_version() == v_before  # retries were no-ops
+    _assert_state_equal(_final_state(table2), expected)
+
+
+def test_partial_then_resume(spark, log_dir, expected, tmp_path):
+    """Apply only the first half, then resume the rest."""
+    root = str(tmp_path / "tbl3")
+    replay(spark, log_dir, root, segments_per_batch=1, start_segment=0)
+    # a second replay starting mid-way must not double-apply and must
+    # complete to the same state
+    table = replay(spark, log_dir, root, segments_per_batch=1, start_segment=2)
+    _assert_state_equal(_final_state(table), expected)
+
+
+def test_dedup_max_lsn_semantics(spark):
+    rows = [
+        (1, "I", "u1", "a"),
+        (5, "U", "u1", "b"),
+        (3, "U", "u1", "c"),
+        (5, "U", "u1", "b"),  # duplicate delivery
+        (2, "I", "u2", "x"),
+    ]
+    df = spark.createDataFrame(rows, "lsn long, op string, url string, payload string")
+    got = {
+        r["url"]: (r["lsn"], r["payload"])
+        for r in dedup_max_lsn(df, "url", n_salt=4).collect()
+    }
+    assert got == {"u1": (5, "b"), "u2": (2, "x")}
+
+
+def test_late_update_after_delete_stays_deleted(spark, tmp_path):
+    """Cross-batch LSN guard: delete at lsn 100 in batch 1, then a late
+    update at lsn 90 in batch 2 must NOT resurrect the row (the
+    correctness gap of the reference's unconditional upsert)."""
+    table = create_pages_table(spark, str(tmp_path / "tbl4"), n_buckets=4)
+    cols = "lsn long, op string, url string, warc_ts timestamp, html binary, lang string, language string, fetch_status long, schema_ver int"
+    b1 = spark.createDataFrame(
+        [
+            (10, "I", "u1", None, b"<p>v1</p>", "en", None, None, 1),
+            (100, "D", "u1", None, None, None, None, None, 1),
+        ],
+        cols,
+    )
+    apply_batch(table, b1, "b1")
+    b2 = spark.createDataFrame(
+        [(90, "U", "u1", None, b"<p>late</p>", "en", None, None, 1)], cols
+    )
+    apply_batch(table, b2, "b2")
+    assert table.read().filter(F.col("url") == "u1").count() == 0
+    # and a GENUINELY newer update does resurrect
+    b3 = spark.createDataFrame(
+        [(110, "U", "u1", None, b"<p>new</p>", "en", None, None, 1)], cols
+    )
+    apply_batch(table, b3, "b3")
+    rows = table.read().filter(F.col("url") == "u1").collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new"
+
+
+def test_hot_key_distribution(spark, log_dir):
+    """The Zipf generator must actually produce a hot host (the skew the
+    salted dedup defends against)."""
+    df = spark.read.option("basePath", log_dir).parquet(log_dir)
+    counts = (
+        df.withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .groupBy("host")
+        .count()
+        .orderBy(F.desc("count"))
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    assert counts[0]["count"] > 0.3 * total  # hot head
