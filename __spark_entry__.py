@@ -15,12 +15,14 @@ from clinical_trials_etl_spark.operators import (
     analytics,
     dedup,
     multimodal,
+    relational2,
     similarity,
     textstats,
 )
 
 _REGISTRIES = [
     analytics.QUERIES,
+    relational2.QUERIES,
     textstats.QUERIES,
     dedup.QUERIES,
     similarity.QUERIES,

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs every registered query from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus a CDC replay throughput measurement
+over a deterministic synthetic change log (the engine's true headline
+metric per BASELINE.json), and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "cdc": {...}}
+
+Each query is forced with a noop-format write (full computation, no
+driver-side row transfer) so the timing measures the Spark plan, not
+collect() serialization.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``bench_scaling.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clinical_trials_etl_spark.session import get_spark  # noqa: E402
+
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "200000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    times: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
+def bench_cdc(spark, n_events: int) -> dict:
+    """Generate a seeded change log and replay it through the full apply
+    path (evolve -> normalize -> extract -> salted dedup -> MERGE)."""
+    from clinical_trials_etl_spark.cdc.replay import replay
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        spec = LogSpec(n_events=n_events, n_hosts=max(50, n_events // 200),
+                       paths_per_host=200, seed=42)
+        log_dir = os.path.join(work, "log")
+        write_changelog_segments(spark, spec, log_dir, n_segments=8)
+        t0 = time.perf_counter()
+        table = replay(spark, log_dir, os.path.join(work, "table"),
+                       segments_per_batch=1)
+        wall = time.perf_counter() - t0
+        final_rows = table.read().count()
+        return {
+            "events": n_events,
+            "replay_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench", cores=cpus)
+
+    t0 = time.perf_counter()
+    qtimes = bench_queries(spark, sf_dir)
+    cdc = bench_cdc(spark, CDC_EVENTS)
+    total = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
