@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+The rule demands >=0.8 throughput scaling efficiency between N and 4N
+executors. No real cluster exists in this sandbox, so per the driver
+instruction we run the IDENTICAL CDC replay job on the SAME generated
+change log at two parallelism levels (local[8] vs local[32], a 4x core
+ratio) in separate JVMs, and report events/sec at both plus
+
+    efficiency = (throughput_32 / throughput_8) / 4.
+
+Results land in BENCH/BASELINE.md (and are echoed as JSON on stdout).
+
+Usage: python bench_scaling.py [n_events]   (default 1_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+_REPLAY_SNIPPET = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from clinical_trials_etl_spark.session import get_spark
+from clinical_trials_etl_spark.cdc.replay import replay
+
+spark = get_spark("scaling-bench", cores={cores})
+t0 = time.perf_counter()
+table = replay(spark, {log_dir!r}, {table_root!r},
+               segments_per_batch={spb}, n_buckets={buckets})
+wall = time.perf_counter() - t0
+rows = table.read().count()
+print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall, 3),
+                              "final_rows": rows}}))
+spark.stop()
+"""
+
+
+def generate_log(n_events: int, log_dir: str, n_segments: int) -> None:
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+    from clinical_trials_etl_spark.session import get_spark
+
+    spark = get_spark("scaling-gen", cores=32)
+    spec = LogSpec(
+        n_events=n_events,
+        n_hosts=max(100, n_events // 500),
+        paths_per_host=400,
+        seed=42,
+    )
+    write_changelog_segments(spark, spec, log_dir, n_segments=n_segments)
+    spark.stop()
+
+
+def run_replay(cores: int, log_dir: str, table_root: str,
+               spb: int, buckets: int) -> dict:
+    code = _REPLAY_SNIPPET.format(
+        repo=REPO, cores=cores, log_dir=log_dir, table_root=table_root,
+        spb=spb, buckets=buckets,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"replay at cores={cores} produced no RESULT:\n{out.stdout[-2000:]}"
+        f"\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_segments = 4
+    buckets = 64
+    work = tempfile.mkdtemp(prefix="bench_scaling_")
+    log_dir = os.path.join(work, "log")
+    try:
+        print(f"generating {n_events} events ...", file=sys.stderr)
+        generate_log(n_events, log_dir, n_segments)
+
+        results = {}
+        for cores in (8, 32):
+            print(f"replaying at local[{cores}] ...", file=sys.stderr)
+            table_root = os.path.join(work, f"table_{cores}")
+            r = run_replay(cores, log_dir, table_root, spb=1, buckets=buckets)
+            r["events_per_sec"] = round(n_events / r["wall_sec"], 1)
+            results[cores] = r
+
+        assert results[8]["final_rows"] == results[32]["final_rows"], (
+            "parallelism changed the result!"
+        )
+        eff = (results[32]["events_per_sec"] / results[8]["events_per_sec"]) / 4
+        summary = {
+            "n_events": n_events,
+            "local8": results[8],
+            "local32": results[32],
+            "scaling_efficiency": round(eff, 3),
+            "target": 0.8,
+        }
+        print(json.dumps(summary))
+        write_report(summary)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def write_report(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    r8, r32 = s["local8"], s["local32"]
+    with open(path, "w") as f:
+        f.write(f"""# BENCH — CDC replay scaling evidence
+
+North-rule criterion: >=0.8 throughput scaling efficiency between N and
+4N executors (BASELINE.json). Sandbox evidence per driver instruction:
+identical replay job, same generated change log, two parallelism levels
+in separate JVMs.
+
+Workload: {s['n_events']:,} change events (seeded generator,
+datagen/changelog.py; Zipf host skew, 5% duplicate deliveries, 15%
+out-of-order, 4 schema versions), replayed through the full apply path
+(schema evolution -> normalize -> Arrow HTML extraction -> salted
+max-LSN dedup -> LSN-guarded bucket-pruned MERGE) in 4 micro-batches
+into a 64-bucket lake table.
+
+| parallelism | wall (s) | events/sec | final rows |
+|---|---|---|---|
+| local[8]  | {r8['wall_sec']} | {r8['events_per_sec']} | {r8['final_rows']} |
+| local[32] | {r32['wall_sec']} | {r32['events_per_sec']} | {r32['final_rows']} |
+
+**Scaling efficiency = ({r32['events_per_sec']} / {r8['events_per_sec']}) / 4
+= {s['scaling_efficiency']}** (target >= 0.8).
+
+Final row counts are identical at both parallelism levels (the replay is
+a pure function of the log, independent of partitioning).
+
+Reproduce: `python bench_scaling.py {s['n_events']}`.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,18 +42,34 @@ def evolve_for_batch(table: LakeTable, batch: DataFrame,
     max_ver = batch.agg(F.max("schema_ver")).collect()[0][0]
     if max_ver is None:
         return []
-    target = reg.schema_for_version(int(max_ver), registry)
+    max_ver = int(max_ver)
+    # monotonic guard: epochs can arrive out of schema order (a v2 file
+    # processed after the table evolved to v4) — never evolve backwards;
+    # normalize_batch folds old-shaped batches into the evolved schema
+    if max_ver <= table.registry_version():
+        return []
+    target = reg.schema_for_version(max_ver, registry)
     current = table.fields()
     ops = reg.diff(current, target)
     if ops:
         table.evolve(
-            reg.apply_ops(current, ops), note=f"registry v{max_ver}: {ops}"
+            reg.apply_ops(current, ops),
+            note=f"registry v{max_ver}: {ops}",
+            registry_ver=max_ver,
         )
     return ops
 
 
 def normalize_batch(batch: DataFrame, fields: list[dict]) -> DataFrame:
     """Transport (union schema) -> evolved table columns + (lsn, op).
+
+    ``text`` is emitted as a null placeholder here and filled in by
+    :func:`extract_text_post_dedup` AFTER the salted max-LSN shuffle —
+    so the Arrow HTML kernel (the expensive step) runs (a) with the
+    shuffle's full parallelism instead of the scan's file-level
+    parallelism (a WAL segment can be a single file = a single task),
+    and (b) only on rows that survived dedup, never on superseded
+    duplicate deliveries.
 
     The lang/language fold mirrors the rename: records written before
     the rename carry ``lang``, after it ``language`` — both are field
@@ -63,9 +79,7 @@ def normalize_batch(batch: DataFrame, fields: list[dict]) -> DataFrame:
     for f in fields:
         name, typ = f["name"], f["type"]
         if name == "text":
-            src = F.when(
-                F.col("op") != "D", extract_text_udf(F.col("html"))
-            ).otherwise(F.lit(None))
+            src = F.lit(None)
         elif name == "language" and "language" not in batch.columns:
             src = F.col("lang")
         elif name == "language":
@@ -108,6 +122,20 @@ def dedup_max_lsn(batch: DataFrame, key: str, n_salt: int = DEFAULT_SALT) -> Dat
     return phase2.select(key, "_p.*")
 
 
+def extract_text_post_dedup(df: DataFrame) -> DataFrame:
+    """Fill the ``text`` column from ``html`` via the Arrow kernel, on
+    the post-shuffle (deduped) rows only. ``withColumn`` replaces the
+    placeholder in place, preserving column order for the MERGE."""
+    if "text" not in df.columns:
+        return df
+    return df.withColumn(
+        "text",
+        F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
+        .otherwise(F.lit(None))
+        .cast("string"),
+    )
+
+
 def apply_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -126,7 +154,9 @@ def apply_batch(
     ops = evolve_for_batch(table, batch, registry)
     fields = table.fields()
     normalized = normalize_batch(batch, fields)
-    deduped = dedup_max_lsn(normalized, table.key_field(), n_salt)
+    deduped = extract_text_post_dedup(
+        dedup_max_lsn(normalized, table.key_field(), n_salt)
+    )
     stats = table.merge(
         deduped,
         lsn_col="lsn",

@@ -182,16 +182,28 @@ def changelog_df(spark: SparkSession, spec: LogSpec) -> DataFrame:
 
 
 def write_changelog_segments(
-    spark: SparkSession, spec: LogSpec, out_dir: str, n_segments: int = 8
+    spark: SparkSession,
+    spec: LogSpec,
+    out_dir: str,
+    n_segments: int = 8,
+    files_per_segment: int = 8,
 ) -> str:
     """Write the log as ordered parquet segment files (the WAL dir a
     streaming source tails). Segment = contiguous lsn range, so file
-    arrival order ~ lsn order, but late events inside stay out of order."""
+    arrival order ~ lsn order, but late events inside stay out of order.
+
+    Each segment is split into ``files_per_segment`` files so a
+    micro-batch scan has file-level parallelism (a single-file segment
+    would make the whole pre-shuffle stage one task)."""
     df = changelog_df(spark, spec)
     seg = (F.col("lsn") * n_segments / spec.n_events).cast("int")
     (
         df.withColumn("segment", F.least(F.lit(n_segments - 1), seg))
-        .repartition("segment")
+        .repartition(
+            n_segments * files_per_segment,
+            F.col("segment"),
+            F.pmod(F.col("lsn"), F.lit(files_per_segment)),
+        )
         .sortWithinPartitions("lsn")
         .write.mode("overwrite")
         .partitionBy("segment")

@@ -145,14 +145,31 @@ class LakeTable:
         ]
         return T.StructType(cols)
 
-    def evolve(self, new_fields: list[dict], note: str) -> None:
+    def registry_version(self, snap: dict | None = None) -> int:
+        """Highest registry schema_ver already applied (monotonic guard:
+        a late-arriving batch with an older schema_ver must not evolve
+        the table backwards)."""
+        snap = snap or self.snapshot()
+        return snap["schema"].get("registry_ver", 1)
+
+    def evolve(
+        self, new_fields: list[dict], note: str, registry_ver: int | None = None
+    ) -> None:
         """Commit a schema-only snapshot (add / rename / widen already
-        validated by lake/schema_evolution.py)."""
+        validated by cdc/registry.py)."""
         snap = self.snapshot()
         snap2 = dict(snap)
         snap2["version"] = snap["version"] + 1
         snap2["parent"] = snap["version"]
-        snap2["schema"] = {"fields": new_fields, "key": snap["schema"]["key"]}
+        snap2["schema"] = {
+            "fields": new_fields,
+            "key": snap["schema"]["key"],
+            "registry_ver": (
+                registry_ver
+                if registry_ver is not None
+                else self.registry_version(snap)
+            ),
+        }
         snap2["lineage"] = snap["lineage"] + [
             {"type": "schema-evolution", "note": note}
         ]
@@ -247,6 +264,11 @@ class LakeTable:
             (F.col(op_col) == "D").alias(SYS_DELETED),
         ).withColumn(SYS_BUCKET, self.bucket_expr(F.col(key)))
 
+        # the source pipeline (dedup shuffle + Arrow extraction) feeds
+        # three actions (touched-bucket scan, merge write, row count) —
+        # persist so it is computed once, not three times
+        src = src.persist()
+
         touched = {
             r[0] for r in src.select(SYS_BUCKET).distinct().collect()
         }
@@ -296,6 +318,7 @@ class LakeTable:
 
         kept = [f for f in snap["files"] if f["bucket"] not in touched]
         n_src = src.count()
+        src.unpersist()
         snap2 = {
             "version": snap["version"] + 1,
             "parent": snap["version"],
