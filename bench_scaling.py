@@ -111,7 +111,8 @@ def main() -> None:
             "target": 0.8,
         }
         print(json.dumps(summary))
-        write_report(summary)
+        if "--write" in sys.argv:
+            write_report(summary)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

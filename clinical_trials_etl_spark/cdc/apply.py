@@ -9,13 +9,14 @@ This is the engine's spine (SURVEY.md §7 stage 3; north rule):
   2. **Normalize transport -> table columns**: the wire format is the
      union-of-versions (Debezium-style); ``coalesce`` folds renamed
      columns (lang/language), types are cast to the evolved schema.
-  3. **Extract text** from html via the Arrow kernel (byte-identity
-     invariant) — only for upserts that carry html.
-  4. **Salted max-LSN dedup** (W3): two-phase ``max_by`` aggregation —
-     first per (key, salt), then per key — so a hot host (Zipf head)
-     cannot pin a single reducer; partial aggregation happens map-side
-     in both phases. This replaces the reference's last-write-wins race
+  3. **Salted max-LSN dedup** (W3): ``max_by`` aggregation with
+     map-side partial aggregation (optionally two-phase salted — see
+     the dedup_max_lsn docstring for the measured skew analysis). This
+     replaces the reference's last-write-wins race
      (mongodb_storage.py:229-231) with deterministic max-LSN semantics.
+  4. **Extract text** from html via the Arrow kernel (byte-identity
+     invariant) — after the dedup shuffle, so it runs at shuffle
+     parallelism and only on surviving upsert rows.
   5. **LSN-guarded MERGE** into the bucket-pruned lake table
      (lake/table.py), tombstoning deletes.
 
@@ -101,15 +102,33 @@ def _dt(t: str) -> str:
 
 
 def dedup_max_lsn(batch: DataFrame, key: str, n_salt: int = DEFAULT_SALT) -> DataFrame:
-    """Keep the max-lsn event per key via salted two-phase max_by.
+    """Keep the max-lsn event per key via max_by aggregation, optionally
+    salted into two phases.
 
-    Phase 1 shuffles on (key, salt) — the hot key spreads over n_salt
-    reducers; phase 2 reduces n_salt partials per key. Both phases get
-    map-side partial aggregation (unlike a row_number window, which
-    sorts the whole hot partition on one task)."""
+    Skew analysis (measured — see bench_skew.py / BENCH/BASELINE.md):
+    ``max_by`` is algebraic, so Spark's map-side partial aggregation
+    already collapses a hot key to ONE row per map partition before any
+    shuffle — the first-line skew defense, and why this is a groupBy
+    and not a row_number window (a window sorts the whole hot partition
+    on one task with no partial aggregation).
+
+    What partial aggregation does NOT bound is the reducer fan-in for a
+    hot key: one reducer still receives #map_partitions partial rows ×
+    payload size (html can be ~100 KB at production scale — with 10^4
+    map tasks that is ~1 GB into a single reducer). Salting (n_salt>1)
+    spreads that fan-in over n_salt phase-1 reducers and reduces n_salt
+    partials per key in phase 2, at the cost of a second (tiny) shuffle.
+    At sandbox payload sizes the extra shuffle dominates, so callers can
+    pass n_salt=1 for the single-phase plan; at design scale n_salt~16
+    bounds the hot-key reducer to #map_tasks/n_salt × payload."""
     payload = F.struct(
         *[F.col(c) for c in batch.columns if c != key]
     )
+    if n_salt <= 1:
+        one = batch.groupBy(key).agg(
+            F.max_by(payload, F.col("lsn")).alias("_p")
+        )
+        return one.select(key, "_p.*")
     salted = batch.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salt))
     )
