@@ -23,6 +23,8 @@ lang->language, v4 widens fetch_status int->long).
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -194,7 +196,15 @@ def write_changelog_segments(
 
     Each segment is split into ``files_per_segment`` files so a
     micro-batch scan has file-level parallelism (a single-file segment
-    would make the whole pre-shuffle stage one task)."""
+    would make the whole pre-shuffle stage one task).
+
+    File mtimes are stamped in segment order after the write: Spark's
+    file streaming source orders arrival by modification time, and a
+    WAL's segments arrive in append order — without the stamp all files
+    share the write job's completion time and the source would tail
+    them in arbitrary order, breaking the bounded-lateness contract
+    watermarked consumers rely on (lateness would become O(log span)
+    instead of O(segment span + max_lag))."""
     df = changelog_df(spark, spec)
     seg = (F.col("lsn") * n_segments / spec.n_events).cast("int")
     (
@@ -209,6 +219,13 @@ def write_changelog_segments(
         .partitionBy("segment")
         .parquet(out_dir)
     )
+    base = time.time() - 2 * n_segments
+    for i in range(n_segments):
+        seg_dir = os.path.join(out_dir, f"segment={i}")
+        if not os.path.isdir(seg_dir):
+            continue
+        for fn in os.listdir(seg_dir):
+            os.utime(os.path.join(seg_dir, fn), (base + 2 * i, base + 2 * i))
     return out_dir
 
 

@@ -1,0 +1,99 @@
+"""spark-submit entry point for the CDC ingest job.
+
+Deployment shape per the north rule: the job ships as
+
+    spark-submit --py-files clinical_trials_etl_spark.zip \
+        -m clinical_trials_etl_spark.job -- \
+        --log-dir s3://wal/segments --table s3://lake/pages \
+        --checkpoint s3://ckpt/pages --stream
+
+On a cluster the session comes from spark-submit's conf (master,
+executors); standalone invocation falls back to the local session
+factory. ``--stream`` tails the WAL with Structured Streaming
+(checkpointed, exactly-once); without it the job performs a batch
+replay of everything present (same apply path, same final state).
+
+The reference's CLI analog is trials_extractor/main.py:52-157 (click
+command -> batch over files); here the "plan" is the streaming DAG, not
+a Python file list.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="clinical_trials_etl_spark.job")
+    p.add_argument("--log-dir", required=True, help="WAL segment directory")
+    p.add_argument("--table", required=True, help="lake table root")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    p.add_argument("--stream", action="store_true",
+                   help="tail via Structured Streaming (default: batch replay)")
+    p.add_argument("--metrics", help="parquet path for per-batch metrics")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--n-salt", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_SALT", "16")))
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    return p
+
+
+def get_session() -> SparkSession:
+    """Reuse the spark-submit session when present, else local factory."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from clinical_trials_etl_spark.session import get_spark
+
+    return get_spark("cdc-ingest")
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+    spark = get_session()
+
+    from clinical_trials_etl_spark.cdc.replay import create_pages_table, replay
+    from clinical_trials_etl_spark.cdc.stream import lineage_report, run_stream
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    if args.stream:
+        if not args.checkpoint:
+            raise SystemExit("--stream requires --checkpoint")
+        if os.path.exists(os.path.join(args.table, "_meta", "_current")):
+            table = LakeTable(spark, args.table)
+        else:
+            table = create_pages_table(spark, args.table, args.n_buckets)
+        progress = run_stream(
+            spark,
+            args.log_dir,
+            table,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            metrics_path=args.metrics,
+        )
+        result = {
+            "mode": "stream",
+            "batches": len(progress),
+            "version": table.current_version(),
+            "rows": table.read().count(),
+            "lineage_commits": len(lineage_report(table)),
+        }
+    else:
+        table = replay(spark, args.log_dir, args.table,
+                       n_buckets=args.n_buckets)
+        result = {
+            "mode": "replay",
+            "version": table.current_version(),
+            "rows": table.read().count(),
+        }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
