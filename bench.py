@@ -41,6 +41,10 @@ def _force(df) -> None:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry
 
+    # warmup: JVM JIT, codegen compile, parquet footer cache, Python
+    # workers — so the first measured query isn't charged for cold-start
+    _force(entry.entry(spark))
+
     times: dict[str, float] = {}
     for name, fn in entry.queries().items():
         df = fn(spark, sf_dir)

@@ -26,6 +26,8 @@ exactly-once contract foreachBatch needs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from clinical_trials_etl_spark.cdc import registry as reg
@@ -33,7 +35,13 @@ from clinical_trials_etl_spark.dist import ensure_package_on_executors
 from clinical_trials_etl_spark.functions.html_extract import extract_text_udf
 from clinical_trials_etl_spark.lake.table import LakeTable
 
-DEFAULT_SALT = 16
+# Dedup plan selector (measured — bench_skew.py + BENCH/BASELINE.md):
+# max_by's map-side partial aggregation already neutralizes hot keys, so
+# the single-phase plan (1) is the throughput default; two-phase salting
+# (e.g. 16) bounds the hot-key reducer fan-in (#map_tasks x payload) and
+# pays off once payloads are wide (~100 KB html) and map-task counts are
+# in the thousands — set SPARK_GRAFT_SALT for that regime.
+DEFAULT_SALT = int(os.environ.get("SPARK_GRAFT_SALT", "1"))
 
 
 def evolve_for_batch(table: LakeTable, batch: DataFrame,
@@ -176,12 +184,23 @@ def apply_batch(
     deduped = extract_text_post_dedup(
         dedup_max_lsn(normalized, table.key_field(), n_salt)
     )
+    # touched buckets from a column-pruned scan of the raw batch (urls
+    # only — dedup preserves the url set, so this is exact) instead of
+    # a second action over the expensive dedup+extract pipeline: the
+    # merge write stays the pipeline's ONLY action
+    touched = {
+        r[0]
+        for r in batch.select(
+            table.bucket_expr(F.col(table.key_field())).alias("_b")
+        ).distinct().collect()
+    }
     stats = table.merge(
         deduped,
         lsn_col="lsn",
         op_col="op",
         batch_id=batch_id,
         lineage=lineage,
+        touched_hint=touched,
     )
     stats["evolution_ops"] = ops
     return stats

@@ -47,6 +47,7 @@ def replay(
     n_buckets: int = 16,
     registry: dict | None = None,
     start_segment: int = 0,
+    n_salt: int | None = None,
 ) -> LakeTable:
     """Replay the log into a fresh (or existing, when resuming) table;
     one micro-batch per ``segments_per_batch`` segments."""
@@ -60,11 +61,13 @@ def replay(
         batch = spark.read.schema(TRANSPORT_SCHEMA).option(
             "basePath", log_dir
         ).parquet(*chunk)
+        kwargs = {} if n_salt is None else {"n_salt": n_salt}
         apply_batch(
             table,
             batch,
             batch_id=f"replay-{i}",
             registry=registry or PAGES_REGISTRY,
             lineage={"segments": [os.path.basename(s) for s in chunk]},
+            **kwargs,
         )
     return table

@@ -91,6 +91,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     metrics_path: str | None = None,
     registry: dict | None = None,
+    n_salt: int | None = None,
 ):
     """Process everything currently in ``log_dir`` through streaming
     micro-batches and stop (processAllAvailable). Safe to call again
@@ -107,12 +108,14 @@ def run_stream(
     )
 
     def handle(batch_df, epoch_id: int):
+        kwargs = {} if n_salt is None else {"n_salt": n_salt}
         apply_batch(
             table,
             batch_df,
             batch_id=f"epoch-{epoch_id}",
             registry=registry,
             lineage={"epoch": epoch_id},
+            **kwargs,
         )
 
     query = (

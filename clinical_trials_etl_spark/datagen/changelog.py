@@ -69,6 +69,11 @@ class LogSpec:
     max_lag_s: int = 3600
     skew_exp: float = 3.0  # host_id = floor(n_hosts * u^skew_exp): hot host 0
     n_schema_versions: int = 4
+    # extra tag-dense body content per page: each block is ~25 B of
+    # "<p>word word</p>". Real Common-Crawl pages are tens of KB of
+    # markup; default pages are ~300 B, which under-weights the
+    # extraction kernel in benchmarks. 80 blocks ~ 2 KB of body HTML.
+    html_pad_blocks: int = 0
 
 
 def _html_and_text(spec: LogSpec, lsn: Column, url: Column):
@@ -108,6 +113,20 @@ def _html_and_text(spec: LogSpec, lsn: Column, url: Column):
         .when(n == 2, F.concat(F.lit("KV"), w2, w3, F.lit("ragged")))
         .otherwise(F.concat(w2, w3))
     )
+    if spec.html_pad_blocks > 0:
+        # tag-dense padding with exact text contribution: text nodes
+        # concatenate with no separator, so N repeated blocks contribute
+        # N repeats of the block text
+        pad_html = F.repeat(
+            F.concat(F.lit("<p>"), w2, F.lit(" "), w3, F.lit("</p>")),
+            spec.html_pad_blocks,
+        )
+        pad_text = F.repeat(
+            F.concat(w2, F.lit(" "), w3), spec.html_pad_blocks
+        )
+    else:
+        pad_html = F.lit("")
+        pad_text = F.lit("")
     html = F.concat(
         F.lit("<html><head><title>"),
         title,
@@ -115,11 +134,12 @@ def _html_and_text(spec: LogSpec, lsn: Column, url: Column):
         url,
         F.lit("</p></div>"),
         body_html,
+        pad_html,
         F.lit("</body></html>"),
     )
     # reference chain: all text nodes concatenated, \s+ collapsed, strip,
     # unicode replacements
-    text = F.concat(title, F.lit("Url:"), url, body_text)
+    text = F.concat(title, F.lit("Url:"), url, body_text, pad_text)
     return html.cast("binary"), text
 
 

@@ -37,8 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tail via Structured Streaming (default: batch replay)")
     p.add_argument("--metrics", help="parquet path for per-batch metrics")
     p.add_argument("--n-buckets", type=int, default=64)
-    p.add_argument("--n-salt", type=int,
-                   default=int(os.environ.get("SPARK_GRAFT_SALT", "16")))
+    from clinical_trials_etl_spark.cdc.apply import DEFAULT_SALT
+
+    p.add_argument("--n-salt", type=int, default=DEFAULT_SALT)
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     return p
 
@@ -75,6 +76,7 @@ def main(argv: list[str] | None = None) -> dict:
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             metrics_path=args.metrics,
+            n_salt=args.n_salt,
         )
         result = {
             "mode": "stream",
@@ -85,7 +87,7 @@ def main(argv: list[str] | None = None) -> dict:
         }
     else:
         table = replay(spark, args.log_dir, args.table,
-                       n_buckets=args.n_buckets)
+                       n_buckets=args.n_buckets, n_salt=args.n_salt)
         result = {
             "mode": "replay",
             "version": table.current_version(),

@@ -68,6 +68,14 @@ def _spark_type(name: str) -> T.DataType:
     return _TYPES[name]
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer (driver-side metadata read —
+    no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -241,11 +249,23 @@ class LakeTable:
         op_col: str = "op",
         batch_id: str | None = None,
         lineage: dict | None = None,
+        touched_hint: set[int] | None = None,
     ) -> dict:
         """LSN-guarded keyed MERGE (I/U upsert, D tombstone), rewriting
         only touched buckets. ``source`` must carry the table's data
         columns plus ``lsn_col``/``op_col`` and be pre-deduped to one
         row per key (cdc/apply.py does the salted max-LSN dedup).
+
+        ``touched_hint``: the exact set of buckets the source touches,
+        when the caller can compute it more cheaply than running the
+        source pipeline (cdc/apply.py derives it from a column-pruned
+        url-only scan of the raw batch — dedup preserves the url set,
+        so the hint is exact). With the hint, the expensive source
+        pipeline (dedup shuffle + Arrow extraction) feeds exactly ONE
+        action — the merge write — and row counts come from the written
+        parquet footers driver-side; no persist, no extra job barriers
+        (each extra action is a fixed cost that does not shrink with
+        cores).
 
         Returns commit stats. Re-submitting an applied ``batch_id`` is a
         no-op (exactly-once under foreachBatch retry)."""
@@ -264,14 +284,17 @@ class LakeTable:
             (F.col(op_col) == "D").alias(SYS_DELETED),
         ).withColumn(SYS_BUCKET, self.bucket_expr(F.col(key)))
 
-        # the source pipeline (dedup shuffle + Arrow extraction) feeds
-        # three actions (touched-bucket scan, merge write, row count) —
-        # persist so it is computed once, not three times
-        src = src.persist()
-
-        touched = {
-            r[0] for r in src.select(SYS_BUCKET).distinct().collect()
-        }
+        persisted = False
+        if touched_hint is not None:
+            touched = set(touched_hint)
+        else:
+            # fallback: derive buckets from the source itself — needs a
+            # second action over the pipeline, so persist it
+            src = src.persist()
+            persisted = True
+            touched = {
+                r[0] for r in src.select(SYS_BUCKET).distinct().collect()
+            }
 
         target = self.read_raw(buckets=touched).withColumn(
             SYS_BUCKET, self.bucket_expr(F.col(key))
@@ -302,23 +325,26 @@ class LakeTable:
         write_df.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
 
         new_files = []
+        merged_rows = 0
         for bucket_dir in sorted(os.listdir(out_dir)):
             if not bucket_dir.startswith(f"{SYS_BUCKET}="):
                 continue
             bucket = int(bucket_dir.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
                 if fn.endswith(".parquet"):
+                    path = os.path.join(out_dir, bucket_dir, fn)
+                    merged_rows += _parquet_num_rows(path)
                     new_files.append(
                         {
-                            "path": os.path.join(out_dir, bucket_dir, fn),
+                            "path": path,
                             "bucket": bucket,
                             "phys": phys,
                         }
                     )
 
         kept = [f for f in snap["files"] if f["bucket"] not in touched]
-        n_src = src.count()
-        src.unpersist()
+        if persisted:
+            src.unpersist()
         snap2 = {
             "version": snap["version"] + 1,
             "parent": snap["version"],
@@ -332,7 +358,7 @@ class LakeTable:
                 {
                     "type": "merge",
                     "batch_id": batch_id,
-                    "source_rows": n_src,
+                    "merged_rows": merged_rows,
                     "touched_buckets": sorted(touched),
                     **(lineage or {}),
                 }
@@ -343,6 +369,6 @@ class LakeTable:
         return {
             "skipped": False,
             "version": snap2["version"],
-            "source_rows": n_src,
+            "merged_rows": merged_rows,
             "touched_buckets": len(touched),
         }
