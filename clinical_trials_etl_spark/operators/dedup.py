@@ -188,21 +188,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def simhash_column(text_col):
     """64-bit SimHash as a JVM expression: per-token xxhash64, per-bit
-    +1/-1 vote, sign -> bit, OR-packed into a long."""
-    # Build via SQL expr for readability/efficiency of the nested aggregate.
+    +1/-1 vote, sign -> bit, OR-packed into a long.
+
+    Single pass over the tokens: the hash array is the aggregate's
+    INPUT (evaluated exactly once), the accumulator is a 64-wide vote
+    vector, and the finish lambda packs vote signs into the long — the
+    naive nested form re-tokenized and re-hashed the whole document
+    once per bit (64x the hashing work; ~13 s at sf0.1 vs sub-second
+    for this form)."""
     return F.expr(
         """
         aggregate(
-          sequence(0, 63),
-          CAST(0 AS BIGINT),
-          (acc, b) -> acc | IF(
-            aggregate(
-              filter(split(text, ' '), x -> x != ''),
-              CAST(0 AS BIGINT),
-              (v, tok) -> v + IF((shiftright(xxhash64(tok), b) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(CAST(1 AS BIGINT), b),
-            CAST(0 AS BIGINT)
+          transform(filter(split(text, ' '), x -> x != ''),
+                    tok -> xxhash64(tok)),
+          array_repeat(CAST(0 AS BIGINT), 64),
+          (acc, h) -> zip_with(
+            acc, sequence(0, 63),
+            (v, b) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)
+          ),
+          acc -> aggregate(
+            sequence(0, 63),
+            CAST(0 AS BIGINT),
+            (r, b) -> r | IF(element_at(acc, b + 1) > 0,
+                             shiftleft(CAST(1 AS BIGINT), b),
+                             CAST(0 AS BIGINT))
           )
         )
         """
