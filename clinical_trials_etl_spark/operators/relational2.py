@@ -396,7 +396,41 @@ GROUP BY r_name, n_name ORDER BY revenue DESC, r_name, n_name
 """
 
 
+def q_w2b_top_order_per_segment(spark, sf_dir):
+    """(W2 per-group form) top-1 per partition via row_number window —
+    st_trial_analytics.py:1367's sort+iloc[0], generalized to one
+    winner per group: the highest-value order per market segment."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", "o_orderkey",
+                money(F.col("o_totalprice")).cast("double").alias("top_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_W2B = """
+SELECT c_mktsegment, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS top_price
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn = 1 ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "w2b_top_order_per_segment": (q_w2b_top_order_per_segment, SQL_W2B),
     "p4_match_notnull": (q_p4_match_notnull, SQL_P4),
     "p8_project_rename": (q_p8_project_rename, SQL_P8),
     "p9_equality_filter": (q_p9_equality_filter, SQL_P9),
