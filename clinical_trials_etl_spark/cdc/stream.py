@@ -145,13 +145,9 @@ def run_stream(
 
 
 def lineage_report(table: LakeTable) -> list[dict]:
-    """Per-commit lineage: epoch -> snapshot version -> row counts."""
-    snap = table.snapshot()
-    out = []
-    version_walk = snap["version"]
-    # lineage entries are appended per commit in order; pair them with
-    # versions by replaying the chain
-    entries = snap["lineage"]
+    """Per-commit lineage: epoch/segment -> merge stats, in commit
+    order (entries are appended once per committed snapshot)."""
     return [
-        {"commit_index": i, **e} for i, e in enumerate(entries)
-    ] if entries else out
+        {"commit_index": i, **e}
+        for i, e in enumerate(table.snapshot()["lineage"])
+    ]
