@@ -97,6 +97,25 @@ def test_partial_then_resume(spark, log_dir, expected, tmp_path):
     _assert_state_equal(_final_state(table), expected)
 
 
+def test_redelivered_data_under_new_batch_id_is_semantic_noop(
+    spark, log_dir, expected, tmp_path
+):
+    """An upstream RESEND of already-applied events arrives as a fresh
+    batch_id (so the applied-batches guard does not catch it); the
+    per-key max-LSN guard must still make it a semantic no-op — every
+    redelivered event is older-or-equal to what the table holds."""
+    root = str(tmp_path / "tbl4")
+    table = replay(spark, log_dir, root, segments_per_batch=2)
+    before = _final_state(table)
+    batch = spark.read.option("basePath", log_dir).parquet(log_dir)
+    stats = apply_batch(
+        table, batch, batch_id="redelivery-1", registry=PAGES_REGISTRY
+    )
+    assert not stats["skipped"]  # it DID run — convergence is semantic
+    _assert_state_equal(_final_state(table), before)
+    _assert_state_equal(_final_state(table), expected)
+
+
 def test_dedup_max_lsn_semantics(spark):
     rows = [
         (1, "I", "u1", "a"),
