@@ -69,36 +69,55 @@ def evolve_for_batch(table: LakeTable, batch: DataFrame,
     return ops
 
 
-def normalize_batch(batch: DataFrame, fields: list[dict]) -> DataFrame:
+def _historical_names(field_id: int, registry: dict | None) -> list[str]:
+    """Every name a field id has carried across registry versions,
+    newest first — renamed columns on the wire coalesce by field id,
+    which is exactly how Iceberg resolves renames (no name guessing)."""
+    registry = registry or reg.PAGES_REGISTRY
+    names: list[str] = []
+    for ver in sorted(registry, reverse=True):
+        for f in registry[ver]:
+            if f["id"] == field_id and f["name"] not in names:
+                names.append(f["name"])
+    return names
+
+
+def normalize_batch(
+    batch: DataFrame, fields: list[dict], registry: dict | None = None
+) -> DataFrame:
     """Transport (union schema) -> evolved table columns + (lsn, op).
 
     ``text`` is emitted as a null placeholder here and filled in by
-    :func:`extract_text_post_dedup` AFTER the salted max-LSN shuffle —
+    :func:`extract_text_post_dedup` AFTER the max-LSN dedup shuffle —
     so the Arrow HTML kernel (the expensive step) runs (a) with the
     shuffle's full parallelism instead of the scan's file-level
     parallelism (a WAL segment can be a single file = a single task),
     and (b) only on rows that survived dedup, never on superseded
     duplicate deliveries.
 
-    The lang/language fold mirrors the rename: records written before
-    the rename carry ``lang``, after it ``language`` — both are field
-    id 5, so they coalesce into the current name."""
+    Renamed columns fold by FIELD ID via the registry: a record written
+    before a rename carries the old name, after it the new one — all
+    historical names of the id coalesce (newest first) into the current
+    column, so the fold needs no per-rename special cases."""
     cols = []
-    names = {f["name"] for f in fields}
     for f in fields:
         name, typ = f["name"], f["type"]
         if name == "text":
             src = F.lit(None)
-        elif name == "language" and "language" not in batch.columns:
-            src = F.col("lang")
-        elif name == "language":
-            src = F.coalesce(F.col("language"), F.col("lang"))
-        elif name == "lang" and "language" in batch.columns:
-            src = F.coalesce(F.col("lang"), F.col("language"))
-        elif name in batch.columns:
-            src = F.col(name)
         else:
-            src = F.lit(None)
+            candidates = [
+                n
+                for n in _historical_names(f["id"], registry)
+                if n in batch.columns
+            ]
+            if not candidates and name in batch.columns:
+                candidates = [name]
+            if not candidates:
+                src = F.lit(None)
+            elif len(candidates) == 1:
+                src = F.col(candidates[0])
+            else:
+                src = F.coalesce(*[F.col(n) for n in candidates])
         cols.append(src.cast(_dt(typ)).alias(name))
     return batch.select(*cols, F.col("lsn"), F.col("op"))
 
@@ -180,7 +199,7 @@ def apply_batch(
 
     ops = evolve_for_batch(table, batch, registry)
     fields = table.fields()
-    normalized = normalize_batch(batch, fields)
+    normalized = normalize_batch(batch, fields, registry)
     deduped = extract_text_post_dedup(
         dedup_max_lsn(normalized, table.key_field(), n_salt)
     )
