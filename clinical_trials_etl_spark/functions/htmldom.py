@@ -15,11 +15,22 @@ trials_extractor/processors/cleaner.py:10-35):
   ``<tr>``/``<td>``/``<th>`` on their table siblings, and unclosed tags
   are closed at EOF (the common lxml recoveries).
 
-Selector support covers what the reference's ~190 selector expressions
-use (trials_extractor/config/selectors.py:8-194): tag, ``#id``,
-``.class``, compound ``tag.class``/``tag#id``, descendant combinators,
-``,`` alternation, and the ``:contains('txt')`` pseudo-predicate
-(emulated by substring match, html_utils.py:83-100).
+Selector support covers the full syntax used by the reference's 213
+selector expressions (trials_extractor/config/selectors.py:8-194):
+tag, ``#id``, ``.class``, compound ``tag.class``/``tag#id``, the
+``,`` alternation, all four combinators (descendant, ``>`` child,
+``+`` adjacent sibling, ``~`` general sibling) and the
+``:-soup-contains('txt')`` pseudo-predicate (with the deprecated
+soupsieve alias ``:contains``), emulated as a substring match over
+the element's recursive text (html_utils.py:83-100). Combinators
+follow strict CSS semantics, matching soupsieve: ``A + B`` requires B
+to be the element sibling *immediately* after A — reference selectors
+that violate adjacency in the real documents (e.g. the
+``sponsors.scientific_contact.phone`` chain) match nothing there too,
+and the extractor's '' default applies, byte-identically.
+Matching is scoped: every compound in the chain must bind to a strict
+descendant of the ``select()`` scope node (the reference always
+selects within a section container or the document root).
 
 This module is imported inside pandas UDFs only — one import per
 executor, zero per-row Python at the Spark plan level.
@@ -103,6 +114,31 @@ class Node:
                 return sib
         return None
 
+    def prev_element_sibling(self):
+        """Nearest preceding element sibling (CSS ``+`` subject)."""
+        if self.parent is None:
+            return None
+        prev = None
+        for sib in self.parent.children:
+            if sib is self:
+                return prev
+            if isinstance(sib, Node):
+                prev = sib
+        return None
+
+    def preceding_element_siblings(self):
+        """All preceding element siblings, nearest first (CSS ``~``)."""
+        if self.parent is None:
+            return []
+        out = []
+        for sib in self.parent.children:
+            if sib is self:
+                break
+            if isinstance(sib, Node):
+                out.append(sib)
+        out.reverse()
+        return out
+
     def find_next(self, tag: str):
         """First element with ``tag`` after this node in document order."""
         root = self
@@ -171,62 +207,205 @@ def parse(html: str) -> Node:
 
 
 # ------------------------------------------------------------- selectors
+#
+# Grammar (the subset soupsieve resolves for the reference's 213
+# expressions, config/selectors.py:8-194):
+#
+#   selector  := branch ("," branch)*
+#   branch    := compound (combinator compound)*
+#   combinator:= " " | ">" | "+" | "~"
+#   compound  := [tag|*] ("#id" | ".class")* pseudo*
+#   pseudo    := ":-soup-contains('txt')" | ":contains('txt')"
+#
+# Matching is right-to-left (the subject is the rightmost compound),
+# evaluated per candidate node in document order — so select() output
+# is in document order across alternation branches, like soupsieve.
 
-_CONTAINS_RE = re.compile(r":contains\(['\"](.+?)['\"]\)")
-_PART_RE = re.compile(r"([a-zA-Z0-9*-]*)((?:[#.][\w-]+)*)$")
+_PSEUDO_RE = re.compile(r":(?:-soup-)?contains\(\s*(['\"])(.*?)\1\s*\)")
+_QUAL_RE = re.compile(r"[#.][\w-]+")
+_HEAD_RE = re.compile(r"^([a-zA-Z0-9*-]*)")
 
 
-def _match_simple(node: Node, simple: str) -> bool:
-    m = _PART_RE.match(simple)
-    if not m:
-        return False
-    tag, quals = m.groups()
-    if tag and tag != "*" and node.tag != tag.lower():
-        return False
-    for qual in re.findall(r"[#.][\w-]+", quals):
-        if qual[0] == "#" and node.attrs.get("id") != qual[1:]:
+class _Compound:
+    __slots__ = ("tag", "id", "classes", "contains")
+
+    def __init__(self, raw: str):
+        self.contains = [m.group(2) for m in _PSEUDO_RE.finditer(raw)]
+        raw = _PSEUDO_RE.sub("", raw)
+        tag = _HEAD_RE.match(raw).group(1)
+        self.tag = tag.lower() if tag and tag != "*" else None
+        self.id = None
+        self.classes = []
+        for qual in _QUAL_RE.findall(raw[len(tag):]):
+            if qual[0] == "#":
+                self.id = qual[1:]
+            else:
+                self.classes.append(qual[1:])
+
+    def matches(self, node: Node) -> bool:
+        if self.tag is not None and node.tag != self.tag:
             return False
-        if qual[0] == "." and qual[1:] not in node.classes:
+        if self.id is not None and node.attrs.get("id") != self.id:
             return False
-    return True
+        if self.classes:
+            have = node.classes
+            if any(c not in have for c in self.classes):
+                return False
+        if self.contains:
+            text = node.text
+            if any(t not in text for t in self.contains):
+                return False
+        return True
 
 
-def _select_descendant(scope: Node, parts: list[str]) -> list[Node]:
-    matches = [scope]
-    for part in parts:
-        next_matches = []
-        seen = set()
-        for node in matches:
-            for cand in node.iter():
-                if cand is node:
-                    continue
-                if _match_simple(cand, part) and id(cand) not in seen:
-                    seen.add(id(cand))
-                    next_matches.append(cand)
-        matches = next_matches
-    return matches
+def _split_top(selector: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside quotes/parens (contains-args hold both)."""
+    parts, buf, quote, depth = [], [], None, 0
+    for ch in selector:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _parse_branch(branch: str) -> list[tuple[str, _Compound]]:
+    """Tokenize one branch into [(combinator, compound), ...]; the first
+    combinator is relative to the select() scope (normally ' ')."""
+    steps: list[tuple[str, _Compound]] = []
+    buf: list[str] = []
+    pending = " "
+    quote, depth = None, 0
+
+    def flush():
+        nonlocal pending
+        if buf:
+            steps.append((pending, _Compound("".join(buf))))
+            buf.clear()
+            pending = " "
+
+    for ch in branch:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and ch in " \t\n>+~":
+            flush()
+            if ch in ">+~":
+                pending = ch
+        else:
+            buf.append(ch)
+    flush()
+    return steps
+
+
+def _in_scope(node: Node, scope: Node) -> bool:
+    anc = node.parent
+    while anc is not None:
+        if anc is scope:
+            return True
+        anc = anc.parent
+    return False
+
+
+def _matches_at(node: Node, steps, scope: Node, idx: int) -> bool:
+    comb, comp = steps[idx]
+    if not comp.matches(node):
+        return False
+    if idx == 0:
+        # leftmost compound binds relative to the scope node
+        if comb == " ":
+            return _in_scope(node, scope)
+        if comb == ">":
+            return node.parent is scope
+        return False  # leading +/~ relative to scope: unsupported/CSS-invalid
+    if comb == " ":
+        anc = node.parent
+        while anc is not None and anc is not scope:
+            if _matches_at(anc, steps, scope, idx - 1):
+                return True
+            anc = anc.parent
+        return False
+    if comb == ">":
+        parent = node.parent
+        return parent is not None and _matches_at(parent, steps, scope, idx - 1)
+    if comb == "+":
+        prev = node.prev_element_sibling()
+        return prev is not None and _matches_at(prev, steps, scope, idx - 1)
+    if comb == "~":
+        return any(
+            _matches_at(sib, steps, scope, idx - 1)
+            for sib in node.preceding_element_siblings()
+        )
+    return False
+
+
+_SELECTOR_CACHE: dict[str, list] = {}
+
+
+def _compile(selector: str):
+    compiled = _SELECTOR_CACHE.get(selector)
+    if compiled is None:
+        compiled = [
+            steps
+            for steps in (_parse_branch(b) for b in _split_top(selector, ","))
+            if steps
+        ]
+        if len(_SELECTOR_CACHE) < 4096:
+            _SELECTOR_CACHE[selector] = compiled
+    return compiled
 
 
 def select(scope: Node, selector: str) -> list[Node]:
-    """All elements under ``scope`` matching the selector (document order
-    within each alternation branch)."""
+    """All elements strictly under ``scope`` matching the selector, in
+    document order (soupsieve order across ``,`` branches)."""
+    branches = _compile(selector)
+    if not branches:
+        return []
     out = []
-    for branch in selector.split(","):
-        contains = None
-        m = _CONTAINS_RE.search(branch)
-        if m:
-            contains = m.group(1)
-            branch = _CONTAINS_RE.sub("", branch)
-        parts = branch.split()
-        if not parts:
+    for node in scope.iter():
+        if node is scope:
             continue
-        found = _select_descendant(scope, parts)
-        if contains is not None:
-            found = [n for n in found if contains in n.text]
-        out.extend(found)
+        for steps in branches:
+            if _matches_at(node, steps, scope, len(steps) - 1):
+                out.append(node)
+                break
     return out
 
 
 def select_one(scope: Node, selector: str) -> Node | None:
-    found = select(scope, selector)
-    return found[0] if found else None
+    """First match in document order (BeautifulSoup ``select_one``)."""
+    branches = _compile(selector)
+    if not branches:
+        return None
+    for node in scope.iter():
+        if node is scope:
+            continue
+        for steps in branches:
+            if _matches_at(node, steps, scope, len(steps) - 1):
+                return node
+    return None

@@ -132,6 +132,152 @@ def test_label_value_extraction(spark):
     assert m == {"Name": "Alice", "Age": "42"}
 
 
+# --------------------------------------------------------------------------
+# Reference-selector goldens: real selector strings lifted verbatim from
+# trials_extractor/config/selectors.py:8-194, run against a CTIS-shaped
+# fixture document. Expectations are hand-computed under strict CSS
+# semantics (what soupsieve resolves): `A + B` = B is the element sibling
+# immediately after A.
+
+CTIS_FIXTURE = """
+<html><body>
+<div class='header'>
+  <p class='bolder'>Title:</p><p>A Study of Example vs Placebo</p>
+  <p class='bolder'>EUCT number:</p><p>2024-510001-34-00</p>
+  <p class='bolder'>Protocol code:</p><p>EX-2024-01</p>
+</div>
+<div id='summary'>
+  <div id='trial_information'>
+    <p class='bolder'>Medical condition:</p><p>Severe asthma</p>
+    <p class='bolder'>Trial Phase:</p><p>Phase III</p>
+    <p class='bolder'>Sponsor:</p><p>Acme Pharma</p>
+    <p class='bolder'>Age range:</p><p>18-64</p>
+    <p class='bolder'>Locations:</p><p>France, Germany</p>
+  </div>
+  <div id='overall_trial_status'>
+    <p class='bolder'>Overall trial status:</p><p>Ongoing</p>
+    <p class='bolder'>Start of Trial:</p><p>2024-03-01</p>
+  </div>
+  <div id='applications'>
+    <h3>IN preparation</h3>
+    <p class='bolder'>Application type:</p><p>Initial</p>
+    <h4>Assessment Part I</h4>
+    <p class='bolder'>Reference Member State:</p><p>France</p>
+    <h4>Assessment Part II</h4>
+    <table><tr><th>MS</th><th>Conclusion</th></tr>
+           <tr><td>FR</td><td>Acceptable</td></tr></table>
+    <h4>Decision</h4>
+    <table><tr><th>MS</th><th>Decision</th></tr>
+           <tr><td>FR</td><td>Authorised</td></tr></table>
+  </div>
+</div>
+<div id='locations'>
+  <div><h3>France</h3><p class='bolder'>Planned number of subjects:</p><p>120</p></div>
+  <div><h3>Germany</h3><p class='bolder'>Planned number of subjects:</p><p>80</p></div>
+  <h2 id='sponsors'>Sponsors</h2>
+  <h4>Scientific contact point</h4>
+  <p class='bolder'>Name of organisation:</p><p>Acme Pharma SA</p>
+  <p class='bolder'>Phone:</p><p>+33 1 42 00 00 00</p>
+  <h4>Public contact point</h4>
+  <p class='bolder'>Name of organisation:</p><p>Acme Public Desk</p>
+</div>
+</body></html>
+"""
+
+# (selector string verbatim from config/selectors.py, expected select_one
+# text under strict CSS — None = no match, the extractor's '' default)
+REFERENCE_SELECTOR_GOLDENS = [
+    # HEADER_SELECTORS (selectors.py:8-12)
+    ("p.bolder:-soup-contains('Title:') + p", "A Study of Example vs Placebo"),
+    ("p.bolder:-soup-contains('EUCT number:') + p", "2024-510001-34-00"),
+    ("p.bolder:-soup-contains('Protocol code:') + p", "EX-2024-01"),
+    # SUMMARY_SELECTORS.trial_information (selectors.py:17-27)
+    ("div#trial_information", "ANY"),
+    ("p.bolder:-soup-contains('Medical condition') + p", "Severe asthma"),
+    ("p.bolder:-soup-contains('Trial Phase:') + p", "Phase III"),
+    ("p.bolder:-soup-contains('Age range:') + p", "18-64"),
+    # overall_trial_status (selectors.py:28-35)
+    ("p.bolder:-soup-contains('Overall trial status:') + p", "Ongoing"),
+    # applications (selectors.py:58-77) — the `h4 + table` family (94 uses)
+    ("h4:-soup-contains('Assessment Part II') + table", "ANY"),
+    ("h4:-soup-contains('Decision') + table", "ANY"),
+    ("div#applications h3", "IN preparation"),
+    # LOCATIONS_SELECTORS (selectors.py:150-168) — the `>` child chain
+    ("div#locations > div > h3", "France"),
+    ("p.bolder:-soup-contains('Planned number of subjects:') + p", "120"),
+    ("h2#sponsors", "Sponsors"),
+    # scientific_contact chained `+` (selectors.py:182-185): the first
+    # p.bolder IS adjacent to the h4 -> matches; 'Phone:' is NOT adjacent
+    # -> no match, exactly as soupsieve resolves it on the real documents.
+    (
+        "h4:-soup-contains('Scientific contact point') "
+        "+ p.bolder:-soup-contains('Name of organisation:') + p",
+        "Acme Pharma SA",
+    ),
+    (
+        "h4:-soup-contains('Scientific contact point') "
+        "+ p.bolder:-soup-contains('Phone:') + p",
+        None,
+    ),
+    (
+        "h4:-soup-contains('Public contact point') "
+        "+ p.bolder:-soup-contains('Name of organisation:') + p",
+        "Acme Public Desk",
+    ),
+]
+
+
+@pytest.mark.parametrize("selector,expected", REFERENCE_SELECTOR_GOLDENS)
+def test_reference_selector_goldens(selector, expected):
+    root = htmldom.parse(CTIS_FIXTURE)
+    node = htmldom.select_one(root, selector)
+    if expected is None:
+        assert node is None, f"{selector!r} must not match (strict CSS +)"
+    elif expected == "ANY":
+        assert node is not None
+    else:
+        assert node is not None, f"{selector!r} found nothing"
+        assert HX.clean_text_py(node.text.strip()) == expected
+
+
+def test_child_combinator_excludes_deeper_descendants():
+    root = htmldom.parse(
+        "<div id='a'><p>direct</p><section><p>deep</p></section></div>"
+    )
+    assert [n.text for n in htmldom.select(root, "div#a > p")] == ["direct"]
+    assert [n.text for n in htmldom.select(root, "div#a p")] == [
+        "direct",
+        "deep",
+    ]
+
+
+def test_adjacent_sibling_strictness():
+    root = htmldom.parse(
+        "<div><h4>L</h4><span>gap</span><p>after-gap</p><h4>M</h4><p>adj</p></div>"
+    )
+    # text nodes / whitespace between siblings do not break adjacency
+    root2 = htmldom.parse("<div><h4>M</h4>\n  <p>adj</p></div>")
+    assert htmldom.select_one(root, "h4:-soup-contains('L') + p") is None
+    assert htmldom.select_one(root, "h4:-soup-contains('M') + p").text == "adj"
+    assert htmldom.select_one(root2, "h4 + p").text == "adj"
+
+
+def test_general_sibling_combinator():
+    root = htmldom.parse("<div><h3>t</h3><p>1</p><span>s</span><p>2</p></div>")
+    assert [n.text for n in htmldom.select(root, "h3 ~ p")] == ["1", "2"]
+
+
+def test_soup_contains_alias_and_document_order():
+    root = htmldom.parse("<div><p>alpha beta</p><p>beta</p></div>")
+    a = htmldom.select(root, "p:-soup-contains('beta')")
+    b = htmldom.select(root, "p:contains('beta')")
+    assert [n.text for n in a] == ["alpha beta", "beta"]
+    assert [n.text for n in a] == [n.text for n in b]
+    # alternation output is document order, not branch order
+    root2 = htmldom.parse("<div><ol><li>a</li></ol><ul><li>b</li></ul></div>")
+    assert [n.tag for n in htmldom.select(root2, "ul, ol")] == ["ol", "ul"]
+
+
 def test_multi_field_single_parse(spark):
     html = (
         "<div id='header'><span class='key'>K1</span></div>"
