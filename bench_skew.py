@@ -5,8 +5,9 @@ url-hash to defeat hot-host skew').
 Builds an EXTREME hot-key change log — a handful of distinct urls, so
 nearly every event lands on the same dedup key — and replays it twice:
 
-- salted       (n_salt=16, the default): two-phase salted max_by — the
-  hot key's reducer fan-in spreads over 16 phase-1 reducers.
+- salted       (n_salt=16, the design-scale setting, SPARK_GRAFT_SALT):
+  two-phase salted max_by — the hot key's reducer fan-in spreads over
+  16 phase-1 reducers.
 - single-phase (n_salt=1): plain groupBy(key).max_by.
 
 Measured finding (see BENCH/BASELINE.md): because max_by is algebraic,
@@ -17,8 +18,6 @@ What partial aggregation does not bound is reducer fan-in
 (#map_partitions x payload for the hot key), which is why the salted
 plan is the design-scale default: at ~100 KB html and 10^4 map tasks
 the unsalted hot-key reducer would absorb ~1 GB; n_salt=16 divides it.
-
-Usage: python bench_skew.py [n_events]   (default 1_000_000)
 
 Usage: python bench_skew.py [n_events]   (default 1_000_000)
 """

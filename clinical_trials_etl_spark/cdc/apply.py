@@ -45,10 +45,16 @@ DEFAULT_SALT = int(os.environ.get("SPARK_GRAFT_SALT", "1"))
 
 
 def evolve_for_batch(table: LakeTable, batch: DataFrame,
-                     registry: dict | None = None) -> list[dict]:
+                     registry: dict | None = None,
+                     max_ver: int | None = None) -> list[dict]:
     """Apply registry-driven DDL for the newest schema version present
-    in the batch. Returns the ops applied (possibly empty)."""
-    max_ver = batch.agg(F.max("schema_ver")).collect()[0][0]
+    in the batch. Returns the ops applied (possibly empty).
+
+    ``max_ver``: pass the batch's max schema_ver when the caller already
+    computed it (apply_batch folds it into the single per-batch metadata
+    action); left None, this runs its own aggregation."""
+    if max_ver is None:
+        max_ver = batch.agg(F.max("schema_ver")).collect()[0][0]
     if max_ver is None:
         return []
     max_ver = int(max_ver)
@@ -194,25 +200,29 @@ def apply_batch(
     ``batch_id``."""
     ensure_package_on_executors(table.spark)
     snap = table.snapshot()
-    if batch_id in snap["applied_batches"]:
+    if table.is_applied(batch_id, snap):
         return {"skipped": True, "version": snap["version"]}
 
-    ops = evolve_for_batch(table, batch, registry)
+    # ONE metadata action over the cheap column-pruned raw-batch scan
+    # collects both per-batch facts the driver needs: the max schema_ver
+    # (evolution trigger) and the exact touched-bucket set (dedup
+    # preserves the url set, so the hint is exact). Round 1 ran these as
+    # two separate jobs — two full-batch scan barriers per micro-batch,
+    # the dominant fixed cost at small batch sizes.
+    meta = batch.agg(
+        F.max("schema_ver").alias("_mx"),
+        F.collect_set(
+            table.bucket_expr(F.col(table.key_field(snap)))
+        ).alias("_buckets"),
+    ).collect()[0]
+    touched = set(meta["_buckets"])
+
+    ops = evolve_for_batch(table, batch, registry, max_ver=meta["_mx"])
     fields = table.fields()
     normalized = normalize_batch(batch, fields, registry)
     deduped = extract_text_post_dedup(
         dedup_max_lsn(normalized, table.key_field(), n_salt)
     )
-    # touched buckets from a column-pruned scan of the raw batch (urls
-    # only — dedup preserves the url set, so this is exact) instead of
-    # a second action over the expensive dedup+extract pipeline: the
-    # merge write stays the pipeline's ONLY action
-    touched = {
-        r[0]
-        for r in batch.select(
-            table.bucket_expr(F.col(table.key_field())).alias("_b")
-        ).distinct().collect()
-    }
     stats = table.merge(
         deduped,
         lsn_col="lsn",
@@ -222,4 +232,24 @@ def apply_batch(
         touched_hint=touched,
     )
     stats["evolution_ops"] = ops
+
+    # Iceberg seam: on a cluster with a real catalog, render the SAME
+    # ops/fields into executable DDL + MERGE (lake/iceberg_sql.py) —
+    # set SPARK_GRAFT_ICEBERG_TABLE to a catalog table name; add
+    # SPARK_GRAFT_ICEBERG_EXECUTE=1 to run them (needs the Iceberg jar).
+    iceberg_table = os.environ.get("SPARK_GRAFT_ICEBERG_TABLE")
+    if iceberg_table:
+        from clinical_trials_etl_spark.lake import iceberg_sql
+
+        view = f"cdc_batch_{batch_id.replace('-', '_')}"
+        statements = iceberg_sql.alter_statements(iceberg_table, ops) + [
+            iceberg_sql.merge_statement(
+                iceberg_table, view, fields, table.key_field()
+            )
+        ]
+        stats["iceberg_sql"] = statements
+        if os.environ.get("SPARK_GRAFT_ICEBERG_EXECUTE") == "1":
+            deduped.createOrReplaceTempView(view)
+            for stmt in statements:
+                table.spark.sql(stmt)
     return stats

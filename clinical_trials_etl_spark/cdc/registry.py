@@ -87,7 +87,13 @@ def diff(current: list[dict], target: list[dict]) -> list[dict]:
                     f"{old['type']} -> {f['type']}"
                 )
             ops.append(
-                {"op": "widen", "id": f["id"], "from": old["type"], "to": f["type"]}
+                {
+                    "op": "widen",
+                    "id": f["id"],
+                    "name": f["name"],
+                    "from": old["type"],
+                    "to": f["type"],
+                }
             )
     target_ids = {f["id"] for f in target}
     dropped = set(cur_by_id) - target_ids

@@ -146,8 +146,5 @@ def run_stream(
 
 def lineage_report(table: LakeTable) -> list[dict]:
     """Per-commit lineage: epoch/segment -> merge stats, in commit
-    order (entries are appended once per committed snapshot)."""
-    return [
-        {"commit_index": i, **e}
-        for i, e in enumerate(table.snapshot()["lineage"])
-    ]
+    order (one sidecar entry per committed snapshot)."""
+    return [{"commit_index": i, **e} for i, e in enumerate(table.lineage())]

@@ -66,6 +66,17 @@ def write_csv_quote_all(
     )
 
 
+def export_filtered_jsonl(
+    df: DataFrame, predicate, limit: int, path: str, mode: str = "overwrite"
+) -> None:
+    """(S13) filtered + limited JSON export — the reference's
+    ``find(query).limit(n)`` -> JSON file (mongodb_storage.py:443-493).
+    ``predicate`` is a Column (or SQL string) filter; the limit executes
+    as a distributed partial take, not a driver collect."""
+    filtered = df.filter(predicate) if predicate is not None else df
+    write_jsonl(filtered.limit(limit), path, mode=mode)
+
+
 def flatten_entities(df: DataFrame, key: str) -> dict[str, DataFrame]:
     """(S9/J2) schema-driven flatten of a nested document DataFrame into
     a parent table + one child table per array column, every child row

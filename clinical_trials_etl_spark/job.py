@@ -3,9 +3,12 @@
 Deployment shape per the north rule: the job ships as
 
     spark-submit --py-files clinical_trials_etl_spark.zip \
-        -m clinical_trials_etl_spark.job -- \
+        clinical_trials_etl_spark/job.py \
         --log-dir s3://wal/segments --table s3://lake/pages \
         --checkpoint s3://ckpt/pages --stream
+
+(spark-submit takes a script path, not -m; under an already-active
+session the equivalent is ``python -m clinical_trials_etl_spark.job``.)
 
 On a cluster the session comes from spark-submit's conf (master,
 executors); standalone invocation falls back to the local session

@@ -1,0 +1,121 @@
+"""Iceberg DDL/DML generation — the "same apply path on a real catalog"
+seam, made concrete.
+
+``lake/table.py`` is the self-contained stand-in (no Iceberg runtime
+jar ships in this container). On a cluster with an Iceberg catalog the
+SAME inputs that drive the stand-in — the registry diff ops from
+``cdc/apply.evolve_for_batch`` and the (fields, key) the MERGE uses —
+are rendered here into executable Spark SQL:
+
+- :func:`create_table_statement`  — bucketed table spec
+  (``bucket(N, url)``, the layout lake/table.py emulates with
+  ``pmod(xxhash64(url), N)``).
+- :func:`alter_statements`        — ADD COLUMNS / RENAME COLUMN /
+  ALTER COLUMN TYPE from the exact op dicts ``cdc/registry.diff``
+  produces (rename-by-field-id, Iceberg's native model).
+- :func:`merge_statement`         — the LSN-guarded MERGE INTO with
+  tombstone semantics matching ``LakeTable.merge``: max-LSN wins,
+  deletes keep their lsn so a late lower-lsn update cannot resurrect
+  the row.
+
+``cdc.apply.apply_batch`` calls these generators when the
+``SPARK_GRAFT_ICEBERG_TABLE`` env var names a catalog table, returning
+the statements in its stats (and executing them via ``spark.sql`` when
+``SPARK_GRAFT_ICEBERG_EXECUTE=1`` — requires the Iceberg runtime on the
+cluster). Generated SQL is golden-tested in
+tests/test_iceberg_sql.py against the full v1 -> v4 registry evolution.
+"""
+
+from __future__ import annotations
+
+_ICEBERG_TYPES = {
+    "int": "int",
+    "long": "bigint",
+    "double": "double",
+    "string": "string",
+    "timestamp": "timestamp",
+    "binary": "binary",
+    "boolean": "boolean",
+}
+
+
+def _t(typ: str) -> str:
+    return _ICEBERG_TYPES[typ]
+
+
+def create_table_statement(
+    table_name: str, fields: list[dict], key: str, n_buckets: int = 16
+) -> str:
+    cols = ",\n  ".join(f"{f['name']} {_t(f['type'])}" for f in fields)
+    return (
+        f"CREATE TABLE {table_name} (\n"
+        f"  {cols},\n"
+        f"  _lsn bigint,\n"
+        f"  _deleted boolean\n"
+        f") USING iceberg\n"
+        f"PARTITIONED BY (bucket({n_buckets}, {key}))"
+    )
+
+
+def alter_statements(table_name: str, ops: list[dict]) -> list[str]:
+    """Registry diff ops (cdc/registry.diff output) -> Iceberg DDL.
+    Op shapes: {op: add, field: {...}} | {op: rename, from, to} |
+    {op: widen, id, from, to} (widen carries types; the column name is
+    resolved by the caller via the evolved field list when needed —
+    here rename ops precede widen ops exactly as diff emits them, so
+    the widen target name is the post-rename name)."""
+    out: list[str] = []
+    renamed: dict[int, str] = {}
+    for op in ops:
+        if op["op"] == "add":
+            f = op["field"]
+            out.append(
+                f"ALTER TABLE {table_name} ADD COLUMNS "
+                f"({f['name']} {_t(f['type'])})"
+            )
+        elif op["op"] == "rename":
+            renamed[op["id"]] = op["to"]
+            out.append(
+                f"ALTER TABLE {table_name} RENAME COLUMN "
+                f"{op['from']} TO {op['to']}"
+            )
+        elif op["op"] == "widen":
+            # widen applies to the field's CURRENT name (post-rename)
+            name = renamed.get(op["id"])
+            if name is None:
+                name = op.get("name")
+            if name is None:
+                raise ValueError(f"widen op missing field name: {op}")
+            out.append(
+                f"ALTER TABLE {table_name} ALTER COLUMN {name} "
+                f"TYPE {_t(op['to'])}"
+            )
+        else:
+            raise ValueError(f"unknown op {op}")
+    return out
+
+
+def merge_statement(
+    table_name: str, source_view: str, fields: list[dict], key: str
+) -> str:
+    """The LSN-guarded MERGE with tombstone semantics (LakeTable.merge
+    parity): the source is the post-dedup batch (one row per key) with
+    columns = table data columns + lsn + op."""
+    names = [f["name"] for f in fields]
+    set_cols = ",\n    ".join(f"t.{n} = s.{n}" for n in names)
+    ins_cols = ", ".join(names + ["_lsn", "_deleted"])
+    ins_vals = ", ".join([f"s.{n}" for n in names] + ["s.lsn", "s.op = 'D'"])
+    return (
+        f"MERGE INTO {table_name} t\n"
+        f"USING {source_view} s\n"
+        f"ON t.{key} = s.{key}\n"
+        f"WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN UPDATE SET\n"
+        f"    t._deleted = true,\n"
+        f"    t._lsn = s.lsn\n"
+        f"WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET\n"
+        f"    {set_cols},\n"
+        f"    t._lsn = s.lsn,\n"
+        f"    t._deleted = false\n"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols})\n"
+        f"VALUES ({ins_vals})"
+    )

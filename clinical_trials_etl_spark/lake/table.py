@@ -28,7 +28,19 @@ implemented Spark-first:
   SURVEY.md §2.9).
 - **Exactly-once**: commits record ``batch_id``; re-applying an
   already-committed batch is a metadata no-op, so foreachBatch retries
-  and checkpoint replays converge to the identical snapshot.
+  and checkpoint replays converge to the identical snapshot. Tracking
+  is bounded (Delta ``txnAppId``/``txnVersion``-style): numeric-suffixed
+  ids ("epoch-17", "replay-3") keep one high-water mark per prefix —
+  the Structured Streaming contract delivers epochs in order, so
+  n <= hwm means already applied — plus a bounded recent-id set for
+  arbitrary ids. Snapshot metadata therefore does NOT grow O(commits).
+- **Bounded snapshot metadata**: file entries live in immutable
+  per-commit manifest files; the snapshot carries only a
+  bucket -> manifest pointer map (O(n_buckets), fixed) and per-commit
+  lineage goes to a sidecar (``_meta/lineage/``), so each commit writes
+  O(touched buckets) new metadata instead of rewriting the full file
+  list and the whole history. Bucket-pruned reads load only the
+  manifests of the buckets they touch.
 
 On a cluster with a real Iceberg catalog the same apply code path can
 emit ``MERGE INTO`` SQL instead (see ``cdc/apply.py``); this class is
@@ -42,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -97,15 +110,16 @@ class LakeTable:
         """fields: [{"id": int, "name": str, "type": str}, ...]"""
         table = cls(spark, root)
         os.makedirs(table.meta_dir, exist_ok=True)
+        os.makedirs(table.lineage_dir, exist_ok=True)
         os.makedirs(table.data_dir, exist_ok=True)
         snap = {
             "version": 0,
             "parent": None,
             "schema": {"fields": fields, "key": key_field},
             "n_buckets": n_buckets,
-            "files": [],
-            "applied_batches": [],
-            "lineage": [],
+            "manifests": {},       # bucket (str) -> manifest file path
+            "batch_hwm": {},       # batch-id prefix -> max numeric suffix
+            "applied_recent": [],  # bounded set for non-numeric ids
             "committed_at": time.time(),
         }
         table._write_snapshot(snap)
@@ -113,6 +127,13 @@ class LakeTable:
 
     def _snap_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"snap-{version:08d}.json")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"manifest-{version:08d}.json")
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.meta_dir, "lineage")
 
     def _write_snapshot(self, snap: dict) -> None:
         path = self._snap_path(snap["version"])
@@ -135,6 +156,81 @@ class LakeTable:
         with open(self._snap_path(version)) as f:
             return json.load(f)
 
+    # --------------------------------------------- batch idempotence
+
+    _BATCH_ID_RE = re.compile(r"^(.*?)(\d+)$")
+    _RECENT_CAP = 64
+
+    def is_applied(self, batch_id: str, snap: dict | None = None) -> bool:
+        """Has this batch already committed? Numeric-suffixed ids check
+        the per-prefix high-water mark (streaming epochs / replay chunks
+        arrive in order — the Delta txnVersion contract); other ids
+        check the bounded recent set."""
+        snap = snap or self.snapshot()
+        if batch_id in snap["applied_recent"]:
+            return True
+        m = self._BATCH_ID_RE.match(batch_id)
+        if m:
+            prefix, n = m.group(1), int(m.group(2))
+            return n <= snap["batch_hwm"].get(prefix, -1)
+        return False
+
+    def _record_applied(self, snap: dict, batch_id: str) -> None:
+        m = self._BATCH_ID_RE.match(batch_id)
+        if m:
+            prefix, n = m.group(1), int(m.group(2))
+            snap["batch_hwm"][prefix] = max(snap["batch_hwm"].get(prefix, -1), n)
+        recent = snap["applied_recent"] + [batch_id]
+        snap["applied_recent"] = recent[-self._RECENT_CAP:]
+
+    # ------------------------------------------------------- lineage
+
+    def _append_lineage(self, version: int, entry: dict) -> None:
+        """Per-commit lineage sidecar — O(1) per commit instead of
+        rewriting the whole history into every snapshot."""
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        path = os.path.join(self.lineage_dir, f"lin-{version:08d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=1)
+        os.replace(tmp, path)
+
+    def lineage(self) -> list[dict]:
+        """All lineage entries in commit order (reads the sidecar dir)."""
+        if not os.path.isdir(self.lineage_dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self.lineage_dir)):
+            if fn.startswith("lin-") and fn.endswith(".json"):
+                with open(os.path.join(self.lineage_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # ---------------------------------------------------------- files
+
+    def files(self, snap: dict | None = None,
+              buckets: set[int] | None = None) -> list[dict]:
+        """File entries for the given buckets (all if None), resolved
+        through the per-commit manifests. Bucket pruning prunes the
+        metadata reads too: only manifests owning wanted buckets load."""
+        snap = snap or self.snapshot()
+        manifests = snap["manifests"]
+        wanted = (
+            set(manifests)
+            if buckets is None
+            else {str(b) for b in buckets if str(b) in manifests}
+        )
+        by_path: dict[str, set[str]] = {}
+        for b in wanted:
+            by_path.setdefault(manifests[b], set()).add(b)
+        out: list[dict] = []
+        for path, bs in sorted(by_path.items()):
+            with open(path) as f:
+                mf = json.load(f)
+            for b in sorted(bs):
+                out.extend(mf["files"].get(b, []))
+        return out
+
     # ---------------------------------------------------------- schema
 
     def fields(self, snap: dict | None = None) -> list[dict]:
@@ -153,12 +249,28 @@ class LakeTable:
         ]
         return T.StructType(cols)
 
-    def registry_version(self, snap: dict | None = None) -> int:
+    def registry_version(self, snap: dict | None = None,
+                         registry: dict | None = None) -> int:
         """Highest registry schema_ver already applied (monotonic guard:
         a late-arriving batch with an older schema_ver must not evolve
-        the table backwards)."""
+        the table backwards).
+
+        When the snapshot predates registry_ver stamping, infer it as
+        the highest registry version whose field list matches the
+        snapshot's — defaulting to 1 would let an older batch re-apply
+        a backwards rename or crash on a widen reversal."""
         snap = snap or self.snapshot()
-        return snap["schema"].get("registry_ver", 1)
+        ver = snap["schema"].get("registry_ver")
+        if ver is not None:
+            return ver
+        from clinical_trials_etl_spark.cdc import registry as reg
+
+        registry = registry or reg.PAGES_REGISTRY
+        mine = {(f["id"], f["name"], f["type"]) for f in self.fields(snap)}
+        for v in sorted(registry, reverse=True):
+            if {(f["id"], f["name"], f["type"]) for f in registry[v]} <= mine:
+                return v
+        return 1
 
     def evolve(
         self, new_fields: list[dict], note: str, registry_ver: int | None = None
@@ -178,9 +290,9 @@ class LakeTable:
                 else self.registry_version(snap)
             ),
         }
-        snap2["lineage"] = snap["lineage"] + [
-            {"type": "schema-evolution", "note": note}
-        ]
+        self._append_lineage(
+            snap2["version"], {"type": "schema-evolution", "note": note}
+        )
         self._write_snapshot(snap2)
 
     # ------------------------------------------------------------ read
@@ -190,9 +302,7 @@ class LakeTable:
         schema so widened columns coexist), project to the *current*
         schema by field-id, cast as needed."""
         fields = self.fields(snap)
-        files = snap["files"]
-        if buckets is not None:
-            files = [f for f in files if f["bucket"] in buckets]
+        files = self.files(snap, buckets)
         out_struct = self._full_struct(fields)
         if not files:
             return self.spark.createDataFrame([], out_struct)
@@ -270,7 +380,7 @@ class LakeTable:
         Returns commit stats. Re-submitting an applied ``batch_id`` is a
         no-op (exactly-once under foreachBatch retry)."""
         snap = self.snapshot()
-        if batch_id is not None and batch_id in snap["applied_batches"]:
+        if batch_id is not None and self.is_applied(batch_id, snap):
             return {"skipped": True, "version": snap["version"]}
 
         fields = self.fields(snap)
@@ -342,29 +452,50 @@ class LakeTable:
                         }
                     )
 
-        kept = [f for f in snap["files"] if f["bucket"] not in touched]
         if persisted:
             src.unpersist()
+
+        version = snap["version"] + 1
+        # immutable per-commit manifest holding ONLY the rewritten
+        # buckets' file entries; untouched buckets keep their parent
+        # manifest pointers — O(touched) new metadata per commit
+        by_bucket: dict[str, list[dict]] = {}
+        for fmeta in new_files:
+            by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
+        manifest_path = self._manifest_path(version)
+        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": by_bucket}, f, indent=1)
+        os.replace(tmp, manifest_path)
+
+        manifests = dict(snap["manifests"])
+        for b in touched:
+            manifests.pop(str(b), None)
+        for b in by_bucket:
+            manifests[b] = manifest_path
+
         snap2 = {
-            "version": snap["version"] + 1,
+            "version": version,
             "parent": snap["version"],
             "schema": snap["schema"],
             "n_buckets": snap["n_buckets"],
-            "files": kept + new_files,
-            "applied_batches": snap["applied_batches"]
-            + ([batch_id] if batch_id is not None else []),
-            "lineage": snap["lineage"]
-            + [
-                {
-                    "type": "merge",
-                    "batch_id": batch_id,
-                    "merged_rows": merged_rows,
-                    "touched_buckets": sorted(touched),
-                    **(lineage or {}),
-                }
-            ],
+            "manifests": manifests,
+            "batch_hwm": dict(snap["batch_hwm"]),
+            "applied_recent": list(snap["applied_recent"]),
             "committed_at": time.time(),
         }
+        if batch_id is not None:
+            self._record_applied(snap2, batch_id)
+        self._append_lineage(
+            version,
+            {
+                "type": "merge",
+                "batch_id": batch_id,
+                "merged_rows": merged_rows,
+                "touched_buckets": sorted(touched),
+                **(lineage or {}),
+            },
+        )
         self._write_snapshot(snap2)
         return {
             "skipped": False,

@@ -428,16 +428,40 @@ ORDER BY o_orderkey
 """
 
 
+def paginate_keyset(df, key: str, last_key, n: int):
+    """Keyset pagination — the engine shape for 'next page after key K':
+    WHERE key > K ORDER BY key LIMIT n. Executes as a pushed-down filter
+    + TakeOrderedAndProject (distributed partial top-n), never a global
+    single-partition sort. ``last_key`` is what a real client carries
+    between pages (the reference's .skip() analog carries an offset,
+    st_trial_analytics.py:334-339)."""
+    return df.filter(F.col(key) > F.lit(last_key)).orderBy(key).limit(n)
+
+
 def q_p7_pagination(spark, sf_dir):
-    """(P7) skip/limit pagination via row_number —
-    st_trial_analytics.py:334-339."""
+    """(P7) pagination, keyset-style — st_trial_analytics.py:334-339.
+
+    The OFFSET boundary key (the 100th o_orderkey) is itself computed
+    distributively: orderBy().limit(100) is TakeOrderedAndProject, its
+    max is the boundary, broadcast as a 1-row join — so neither leg
+    sorts the table in one partition (the round-1 row_number() over a
+    global Window did, the classic scale-killer; asserted gone in
+    tests/test_plans.py). A real paging client passes last_key directly
+    and only the paginate_keyset leg runs."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
-        .select("o_orderkey", "o_totalprice")
+    boundary = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .agg(F.max("o_orderkey").alias("last_key"))
     )
+    page = (
+        o.join(F.broadcast(boundary))
+        .filter(F.col("o_orderkey") > F.col("last_key"))
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+    return page.select("o_orderkey", "o_totalprice")
 
 
 SQL_P7 = """

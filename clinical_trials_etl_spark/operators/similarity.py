@@ -5,20 +5,48 @@
   element order, so Spark and the DuckDB oracle produce bit-identical
   doubles.
 - LSH-bucketed ANN (random hyperplanes): the 100 TB scale path — the
-  16-bit signature turns the O(n) scan per query into a bucket lookup;
+  signature turns the O(n) scan per query into a bucket lookup;
   hyperplanes are derived deterministically from xxhash64 so executors
   need no broadcast state and re-runs are reproducible.
-- Embedding-cosine near-dup: all pairs above a cosine threshold within
-  LSH buckets (the embedding arm of the dedup suite).
+- Embedding-cosine near-dup: all pairs above a cosine threshold found
+  via banded LSH buckets (the embedding arm of the dedup suite).
+
+Signature computation is a SINGLE aggregate pass over the vector: one
+xxhash64 per dimension whose 64 bits supply the +-1 plane signs for all
+planes at once (bit p of hash(i) = sign of plane p in dimension i), an
+array<double> projection accumulator, and a finish lambda that packs
+projection signs into a long. The previous form ran one full
+zip_with+aggregate traversal — and one hash evaluation — per plane
+(16 traversals, 16x the hashing); this form does the same work in one
+traversal with one hash per dimension.
+
+Bucket-size math at design scale (10^10 rows): a band of b bits splits
+each band's candidate join into 2^b buckets, so expected bucket size is
+n / 2^b. The round-1 design joined on one 16-bit signature: 10^10 / 2^16
+~ 1.5e5 rows per bucket -> ~1e10 candidate pairs per bucket — quadratic
+again. The banded 64-bit design here keeps the verify-join sub-quadratic
+by making band width a parameter: at 10^10 rows use N_PLANES=128 with 4
+bands of 32 bits (10^10 / 2^32 ~ 2.3 rows per bucket), recovering recall
+with multiple independent bands rather than narrow buckets. Defaults
+below (64 planes, 8 bands of 8 bits) are sized for the test tables,
+where perfect recall at cos >= 0.95 is asserted against the brute-force
+ground truth (tests/test_similarity.py); the same code path serves both
+by changing constants.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, functions as F
 
 QUERY_VEC_ID = 0  # deterministic query point for the top-k demos
 TOP_K = 10
-N_PLANES = 16
+N_PLANES = 64
+# near-dup banding (test-scale defaults; see bucket-size math above)
+ND_BANDS = 8
+ND_BAND_BITS = N_PLANES // ND_BANDS
+# ANN multi-probe: candidates within this hamming distance of the query
+# signature (on the full 64-bit signature) are scored
+ANN_HAMMING = 16
 
 
 def _t(spark, sf_dir, name):
@@ -86,79 +114,140 @@ ORDER BY cos_sim DESC, vec_id LIMIT {TOP_K}
 """
 
 
-def hyperplane_signature(vec_col, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane LSH signature as an int. Plane p's component for
-    dimension i is a deterministic pseudo-random +-1 from
-    xxhash64(p, i) — reproducible on any executor with zero state."""
-    dim = F.size(vec_col)
-    def plane_bit(p):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, i: x
-                * F.when(F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def hyperplane_signature(vec_col_name: str, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH signature packed into a long, computed in
+    ONE aggregate pass over the vector (``vec_col_name`` must be a
+    column name, array<double>).
+
+    Plane p's component for dimension i is +-1 from bit p of
+    xxhash64(i) — one hash per dimension supplies the signs for up to 64
+    planes, deterministic on any executor with zero broadcast state. The
+    accumulator carries all n_planes running projections; the finish
+    lambda packs their signs into the signature long.
+    """
+    if not 1 <= n_planes <= 64:
+        raise ValueError("n_planes must be in [1, 64]")
+    v = vec_col_name
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with({v}, sequence(0, size({v}) - 1),
+                   (x, i) -> struct(CAST(x AS DOUBLE) AS x, xxhash64(i) AS h)),
+          array_repeat(CAST(0.0 AS DOUBLE), {n_planes}),
+          (acc, e) -> zip_with(
+            acc, sequence(0, {n_planes - 1}),
+            (v, p) -> v + IF((shiftright(e.h, p) & 1) = 1, e.x, -e.x)
+          ),
+          acc -> aggregate(
+            sequence(0, {n_planes - 1}),
+            CAST(0 AS BIGINT),
+            (r, p) -> r | IF(element_at(acc, p + 1) > 0,
+                             shiftleft(CAST(1 AS BIGINT), p),
+                             CAST(0 AS BIGINT))
+          )
         )
-        return F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-    sig = plane_bit(0)
-    for p in range(1, n_planes):
-        sig = sig + plane_bit(p)
-    return sig
-
-
-def q_sim_ann_lsh_topk(spark, sf_dir):
-    """ANN variant of the top-k: only candidates whose hyperplane
-    signature is within hamming distance 2 of the query's signature are
-    scored (multi-probe LSH). Spark-only (rows-only driver check; recall
-    vs brute force is asserted in tests/test_similarity.py)."""
-    e = _t(spark, sf_dir, "embeddings")
-    vec = _vec_double(F.col("embedding"))
-    sigs = e.select("vec_id", "label", vec.alias("vec")).withColumn(
-        "sig", hyperplane_signature(F.col("vec"))
+        """
     )
-    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+
+
+def ann_topk(emb_df, query_id: int = QUERY_VEC_ID, k: int = TOP_K,
+             hamming: int = ANN_HAMMING):
+    """Core ANN top-k over a DataFrame (vec_id, embedding, label): only
+    candidates whose 64-plane signature is within ``hamming`` of the
+    query's are scored. E[hamming] = 64 * theta/pi, so the cutoff admits
+    vectors up to ~theta = pi * hamming/64 of the query while the scan
+    prunes the rest JVM-side."""
+    vec = _vec_double(F.col("embedding"))
+    sigs = emb_df.select("vec_id", "label", vec.alias("vec")).withColumn(
+        "sig", hyperplane_signature("vec")
+    )
+    q = sigs.filter(F.col("vec_id") == query_id).select(
         F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
-    cand = sigs.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(q))
+    cand = sigs.filter(F.col("vec_id") != query_id).join(F.broadcast(q))
     near = cand.filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 2
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= hamming
     )
     sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
     return (
         near.select("vec_id", "label", sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(TOP_K)
+        .limit(k)
+    )
+
+
+def q_sim_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k (see ann_topk). Spark-only (rows-only driver check;
+    recall on planted near-neighbors asserted in
+    tests/test_similarity.py)."""
+    return ann_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def near_dup_pairs(emb_df, threshold: float = 0.95,
+                   n_bands: int = ND_BANDS, band_bits: int = ND_BAND_BITS):
+    """Core near-dup pairs over a DataFrame (vec_id, embedding) via
+    banded 64-bit LSH: ``n_bands`` bands of ``band_bits`` bits; a pair
+    is a candidate iff it agrees on at least one band; candidates are
+    verified by exact cosine. The candidate join carries only
+    (vec ids, band key) — vectors are re-attached to the DISTINCT
+    candidate pairs afterwards, so the wide payload never rides the
+    banded explode/shuffle (the round-1 plan shipped both full vectors
+    through every band)."""
+    sigs = emb_df.select(
+        "vec_id", _vec_double(F.col("embedding")).alias("vec")
+    ).withColumn("sig", hyperplane_signature("vec"))
+
+    bands = sigs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
+        F.col("sig"),
+    ).select(
+        "vec_id",
+        "band_id",
+        F.expr(
+            f"shiftrightunsigned(sig, band_id * {band_bits})"
+            f" & {(1 << band_bits) - 1}"
+        ).alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    vecs = sigs.select("vec_id", "vec")
+    pairs = (
+        cand.join(vecs.withColumnRenamed("vec", "va"), cand.vec_a == vecs.vec_id)
+        .drop("vec_id")
+        .join(
+            vecs.withColumnRenamed("vec", "vb").withColumnRenamed(
+                "vec_id", "vec_id_b"
+            ),
+            F.col("vec_b") == F.col("vec_id_b"),
+        )
+        .drop("vec_id_b")
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
     )
 
 
 def q_sim_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos >= 0.95) found via LSH
-    buckets: join on exact signature, verify cosine. Scale path: the
-    self-join keys on the 16-bit signature, so comparisons stay within
-    buckets. Spark-only."""
-    e = _t(spark, sf_dir, "embeddings")
-    sigs = e.select(
-        "vec_id", _vec_double(F.col("embedding")).alias("vec")
-    ).withColumn("sig", hyperplane_signature(F.col("vec")))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.sig") == F.col("b.sig"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
-    return (
-        cand.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.95)
-        .orderBy("vec_a", "vec_b")
-    )
+    """Embedding-cosine near-dup pairs (cos >= 0.95); see
+    near_dup_pairs. Spark-only (rows-only driver check; perfect recall
+    on planted near-dups asserted in tests/test_similarity.py)."""
+    return near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
 QUERIES = {

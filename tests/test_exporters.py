@@ -102,3 +102,49 @@ def test_json_sections(nested_df, tmp_path):
             hdr += [json.loads(line) for line in f if line.strip()]
     assert {h["title"] for h in hdr} == {"alpha page", 'quoted "beta"'}
     assert os.path.isdir(os.path.join(out, "full"))
+
+
+def test_filtered_limited_jsonl_export(nested_df, tmp_path):
+    """(S13) find(query).limit(n) -> JSON parity
+    (mongodb_storage.py:443-493)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "filtered")
+    exporters.export_filtered_jsonl(
+        nested_df.select("url", "header"),
+        F.col("header.lang") == "en",
+        limit=1,
+        path=out,
+    )
+    recs = []
+    for part in glob.glob(os.path.join(out, "part-*")):
+        with open(part) as f:
+            recs += [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == 1
+    assert recs[0]["header"]["lang"] == "en"
+
+
+def test_recursive_and_flat_dir_scan(spark, tmp_path):
+    """(S3/S4) binaryFile scan parity with find_html_files' os.walk
+    (batch_utils.py:127-143) and the flat main.py:134-138 listing."""
+    from clinical_trials_etl_spark.sources.scan import scan_files
+
+    top = tmp_path / "pages"
+    (top / "deep" / "deeper").mkdir(parents=True)
+    (top / "a.html").write_text("<p>a</p>")
+    (top / "skip.txt").write_text("not html")
+    (top / "deep" / "b.html").write_text("<p>b</p>")
+    (top / "deep" / "deeper" / "c.html").write_text("<p>c</p>")
+
+    rec = scan_files(spark, str(top), recursive=True)
+    names = {os.path.basename(r["path"]) for r in rec.select("path").collect()}
+    assert names == {"a.html", "b.html", "c.html"}
+    # content is the raw bytes (feeds the same Arrow extraction kernel)
+    row = rec.filter(rec.path.endswith("a.html")).collect()[0]
+    assert bytes(row["content"]) == b"<p>a</p>"
+
+    flat = scan_files(spark, str(top), recursive=False)
+    flat_names = {
+        os.path.basename(r["path"]) for r in flat.select("path").collect()
+    }
+    assert flat_names == {"a.html"}

@@ -1,0 +1,100 @@
+"""Golden tests for the Iceberg SQL seam: the exact DDL/MERGE text the
+apply path emits for a real catalog, driven by the same registry diff
+ops and field lists the parquet stand-in uses."""
+
+from __future__ import annotations
+
+import os
+
+from clinical_trials_etl_spark.cdc.apply import apply_batch
+from clinical_trials_etl_spark.cdc.registry import PAGES_REGISTRY, diff
+from clinical_trials_etl_spark.cdc.replay import create_pages_table
+from clinical_trials_etl_spark.lake import iceberg_sql as I
+
+
+def test_create_table_golden():
+    got = I.create_table_statement("lake.pages", PAGES_REGISTRY[1], "url", 32)
+    assert got == (
+        "CREATE TABLE lake.pages (\n"
+        "  url string,\n"
+        "  warc_ts timestamp,\n"
+        "  html binary,\n"
+        "  text string,\n"
+        "  lang string,\n"
+        "  _lsn bigint,\n"
+        "  _deleted boolean\n"
+        ") USING iceberg\n"
+        "PARTITIONED BY (bucket(32, url))"
+    )
+
+
+def test_alter_statements_full_evolution_chain():
+    # v1 -> v2: add; v2 -> v3: rename; v3 -> v4: widen
+    assert I.alter_statements("t", diff(PAGES_REGISTRY[1], PAGES_REGISTRY[2])) == [
+        "ALTER TABLE t ADD COLUMNS (fetch_status int)"
+    ]
+    assert I.alter_statements("t", diff(PAGES_REGISTRY[2], PAGES_REGISTRY[3])) == [
+        "ALTER TABLE t RENAME COLUMN lang TO language"
+    ]
+    assert I.alter_statements("t", diff(PAGES_REGISTRY[3], PAGES_REGISTRY[4])) == [
+        "ALTER TABLE t ALTER COLUMN fetch_status TYPE bigint"
+    ]
+    # v1 -> v4 in one jump: add lands with the final type, rename applies
+    assert I.alter_statements("t", diff(PAGES_REGISTRY[1], PAGES_REGISTRY[4])) == [
+        "ALTER TABLE t RENAME COLUMN lang TO language",
+        "ALTER TABLE t ADD COLUMNS (fetch_status bigint)",
+    ]
+
+
+def test_merge_statement_golden():
+    got = I.merge_statement("lake.pages", "batch_v", PAGES_REGISTRY[1], "url")
+    assert got == (
+        "MERGE INTO lake.pages t\n"
+        "USING batch_v s\n"
+        "ON t.url = s.url\n"
+        "WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN UPDATE SET\n"
+        "    t._deleted = true,\n"
+        "    t._lsn = s.lsn\n"
+        "WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET\n"
+        "    t.url = s.url,\n"
+        "    t.warc_ts = s.warc_ts,\n"
+        "    t.html = s.html,\n"
+        "    t.text = s.text,\n"
+        "    t.lang = s.lang,\n"
+        "    t._lsn = s.lsn,\n"
+        "    t._deleted = false\n"
+        "WHEN NOT MATCHED THEN INSERT "
+        "(url, warc_ts, html, text, lang, _lsn, _deleted)\n"
+        "VALUES (s.url, s.warc_ts, s.html, s.text, s.lang, s.lsn, s.op = 'D')"
+    )
+
+
+def test_apply_batch_emits_sql_behind_flag(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ICEBERG_TABLE", "lake.pages")
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    cols = (
+        "lsn long, op string, url string, warc_ts timestamp, html binary,"
+        " lang string, language string, fetch_status long, schema_ver int"
+    )
+    batch = spark.createDataFrame(
+        [(1, "I", "https://a/1", None, b"<p>x</p>", "en", None, None, 1)], cols
+    )
+    stats = apply_batch(table, batch, "ice-1")
+    assert "iceberg_sql" in stats
+    assert stats["iceberg_sql"][-1].startswith("MERGE INTO lake.pages t")
+    # no DDL for a v1 batch on a v1 table
+    assert len(stats["iceberg_sql"]) == 1
+
+
+def test_apply_batch_no_sql_without_flag(spark, tmp_path):
+    assert "SPARK_GRAFT_ICEBERG_TABLE" not in os.environ
+    table = create_pages_table(spark, str(tmp_path / "t2"), n_buckets=4)
+    cols = (
+        "lsn long, op string, url string, warc_ts timestamp, html binary,"
+        " lang string, language string, fetch_status long, schema_ver int"
+    )
+    batch = spark.createDataFrame(
+        [(1, "I", "https://a/1", None, b"<p>x</p>", "en", None, None, 1)], cols
+    )
+    stats = apply_batch(table, batch, "noice-1")
+    assert "iceberg_sql" not in stats

@@ -23,7 +23,9 @@ def test_diff_detects_add_rename_widen():
     ops23 = reg.diff(reg.PAGES_REGISTRY[2], reg.PAGES_REGISTRY[3])
     assert ops23 == [{"op": "rename", "id": 5, "from": "lang", "to": "language"}]
     ops34 = reg.diff(reg.PAGES_REGISTRY[3], reg.PAGES_REGISTRY[4])
-    assert ops34 == [{"op": "widen", "id": 6, "from": "int", "to": "long"}]
+    assert ops34 == [
+        {"op": "widen", "id": 6, "name": "fetch_status", "from": "int", "to": "long"}
+    ]
 
 
 def test_diff_rejects_narrow_and_drop():
@@ -79,5 +81,5 @@ def test_mid_stream_evolution_preserves_old_rows(spark, tmp_path):
 
     # files written before the widen are still on disk (no rewrite of
     # untouched buckets) unless their bucket was touched again
-    sigs = {tuple(sorted(f["phys"].items())) for f in table.snapshot()["files"]}
+    sigs = {tuple(sorted(f["phys"].items())) for f in table.files()}
     assert len(sigs) >= 1

@@ -57,7 +57,7 @@ def test_stream_apply_and_restart(spark, log_dir, tmp_path):
     assert m.agg(F.sum("num_input_rows")).collect()[0][0] >= SPEC.n_events
 
     # lineage: every merge commit carries its epoch + touched buckets
-    merges = [e for e in table.snapshot()["lineage"] if e["type"] == "merge"]
+    merges = [e for e in table.lineage() if e["type"] == "merge"]
     assert merges and all("epoch" in e and e["touched_buckets"] for e in merges)
 
 
