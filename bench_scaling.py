@@ -41,6 +41,15 @@ sys.path.insert(0, {repo!r})
 from clinical_trials_etl_spark.session import get_spark
 from clinical_trials_etl_spark.cdc.replay import replay
 
+def spin_canary():
+    # fixed single-thread CPU loop: its wall time moves 1:1 with
+    # hypervisor steal, so each leg carries its own contention reading
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
 spark = get_spark("scaling-bench", cores={cores})
 # warmup pass (same job into a throwaway table, all segments in one
 # batch): JVM JIT + whole-stage codegen compilation + Python worker
@@ -52,15 +61,18 @@ replay(spark, {log_dir!r}, {table_root!r} + "_warmup",
 # best-of-2: the sandbox host shows bursty hypervisor steal time (~10%
 # of busy time, hitting wide runs hardest); the minimum measures the
 # job's capability rather than co-tenant interference
-walls = []
-for rep in range(2):
+walls, canaries = [], []
+for rep in range({reps}):
+    canaries.append(spin_canary())
     t0 = time.perf_counter()
     table = replay(spark, {log_dir!r}, {table_root!r} + f"_rep{{rep}}",
                    segments_per_batch={spb}, n_buckets={buckets})
     walls.append(time.perf_counter() - t0)
+canaries.append(spin_canary())
 rows = table.read().count()
 print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(min(walls), 3),
                               "walls": [round(w, 3) for w in walls],
+                              "spin_canary_sec": canaries,
                               "final_rows": rows}}))
 spark.stop()
 """
@@ -98,10 +110,10 @@ def generate_log(n_events: int, log_dir: str, n_segments: int) -> None:
 
 
 def run_replay(cores: int, log_dir: str, table_root: str,
-               spb: int, buckets: int) -> dict:
+               spb: int, buckets: int, reps: int = 2) -> dict:
     code = _REPLAY_SNIPPET.format(
         repo=REPO, cores=cores, log_dir=log_dir, table_root=table_root,
-        spb=spb, buckets=buckets,
+        spb=spb, buckets=buckets, reps=reps,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -162,13 +174,28 @@ def main() -> None:
         print(f"generating {n_events} events ...", file=sys.stderr)
         generate_log(n_events, log_dir, n_segments)
 
+        rounds = 1
+        for i, a in enumerate(sys.argv):
+            if a == "--rounds" and i + 1 < len(sys.argv):
+                rounds = int(sys.argv[i + 1])
         results = {}
-        for cores in CORE_PAIR:
-            print(f"replaying at local[{cores}] ...", file=sys.stderr)
-            table_root = os.path.join(work, f"table_{cores}")
-            r = run_replay(cores, log_dir, table_root, spb=1, buckets=buckets)
-            r["events_per_sec"] = round(n_events / r["wall_sec"], 1)
-            results[cores] = r
+        for rnd in range(rounds):
+            for cores in CORE_PAIR:
+                print(f"replaying at local[{cores}] (round {rnd}) ...",
+                      file=sys.stderr)
+                table_root = os.path.join(work, f"table_{cores}_{rnd}")
+                r = run_replay(cores, log_dir, table_root, spb=1,
+                               buckets=buckets)
+                r["events_per_sec"] = round(n_events / r["wall_sec"], 1)
+                prev = results.get(cores)
+                if prev is None:
+                    results[cores] = r
+                else:
+                    prev["walls"] += r["walls"]
+                    prev["spin_canary_sec"] += r["spin_canary_sec"]
+                    if r["wall_sec"] < prev["wall_sec"]:
+                        prev["wall_sec"] = r["wall_sec"]
+                        prev["events_per_sec"] = r["events_per_sec"]
 
         assert results[CORE_PAIR[0]]["final_rows"] == results[CORE_PAIR[1]]["final_rows"], (
             "parallelism changed the result!"

@@ -195,9 +195,18 @@ def apply_batch(
     registry: dict | None = None,
     n_salt: int = DEFAULT_SALT,
     lineage: dict | None = None,
+    merge_mode: str | None = None,
 ) -> dict:
     """Full apply: evolve -> normalize -> dedup -> MERGE. Idempotent on
-    ``batch_id``."""
+    ``batch_id``.
+
+    ``merge_mode``: "cow" (rewrite touched buckets; default) or
+    "delta" (merge-on-read append — O(batch) commit cost, reads
+    reconcile, compact() folds; the write-amplification answer when
+    micro-batches are small relative to bucket size). Defaults from
+    SPARK_GRAFT_MERGE_MODE."""
+    if merge_mode is None:
+        merge_mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
     ensure_package_on_executors(table.spark)
     snap = table.snapshot()
     if table.is_applied(batch_id, snap):
@@ -230,6 +239,7 @@ def apply_batch(
         batch_id=batch_id,
         lineage=lineage,
         touched_hint=touched,
+        mode=merge_mode,
     )
     stats["evolution_ops"] = ops
 

@@ -58,7 +58,7 @@ import re
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -211,7 +211,9 @@ class LakeTable:
     def files(self, snap: dict | None = None,
               buckets: set[int] | None = None) -> list[dict]:
         """File entries for the given buckets (all if None), resolved
-        through the per-commit manifests. Bucket pruning prunes the
+        through the per-commit manifests. A bucket maps to an ordered
+        LIST of manifest paths — one layer per merge-on-read delta
+        commit since its last base rewrite. Bucket pruning prunes the
         metadata reads too: only manifests owning wanted buckets load."""
         snap = snap or self.snapshot()
         manifests = snap["manifests"]
@@ -220,15 +222,17 @@ class LakeTable:
             if buckets is None
             else {str(b) for b in buckets if str(b) in manifests}
         )
-        by_path: dict[str, set[str]] = {}
+        paths_needed: set[str] = set()
         for b in wanted:
-            by_path.setdefault(manifests[b], set()).add(b)
-        out: list[dict] = []
-        for path, bs in sorted(by_path.items()):
+            paths_needed.update(manifests[b])
+        loaded: dict[str, dict] = {}
+        for path in sorted(paths_needed):
             with open(path) as f:
-                mf = json.load(f)
-            for b in sorted(bs):
-                out.extend(mf["files"].get(b, []))
+                loaded[path] = json.load(f)
+        out: list[dict] = []
+        for b in sorted(wanted, key=int):
+            for path in manifests[b]:
+                out.extend(loaded[path]["files"].get(b, []))
         return out
 
     # ---------------------------------------------------------- schema
@@ -336,17 +340,185 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    @staticmethod
+    def _winner_per_key(df: DataFrame, key: str) -> DataFrame:
+        """Max-(lsn, deleted) row per key — the merge-on-read
+        reconciliation AND the merge's winner rule (one algebraic
+        max_by aggregation with map-side partial aggregation, not a
+        row_number window: see merge())."""
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        return (
+            df.groupBy(key)
+            .agg(
+                F.max_by(
+                    payload, F.struct(F.col(SYS_LSN), F.col(SYS_DELETED))
+                ).alias("_w")
+            )
+            .select("_w.*")
+        )
+
+    def _read_reconciled(
+        self, snap: dict, buckets: set[int] | None
+    ) -> DataFrame:
+        """Union of base + delta layers, reconciled to one row per key
+        when any delta layer is present in the selection (merge-on-read).
+        Base-only selections skip the aggregation entirely — COW data
+        is already one-row-per-key at rest."""
+        entries = self.files(snap, buckets)
+        df = self._read_files(snap, buckets)
+        if any(e.get("delta") for e in entries):
+            df = self._winner_per_key(df, self.key_field(snap))
+        return df
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Live rows at a snapshot (tombstones filtered, system cols off)."""
+        """Live rows at a snapshot (delta layers reconciled, tombstones
+        filtered, system cols off)."""
         snap = self.snapshot(version)
-        df = self._read_files(snap, None)
+        df = self._read_reconciled(snap, None)
         return df.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
 
     def read_raw(self, buckets: set[int] | None = None) -> DataFrame:
-        """Rows incl. tombstones + system cols (merge input)."""
-        return self._read_files(self.snapshot(), buckets)
+        """Rows incl. tombstones + system cols, reconciled to one row
+        per key (merge input)."""
+        return self._read_reconciled(self.snapshot(), buckets)
+
+    def lookup(self, key_value) -> DataFrame:
+        """Keyed point lookup with bucket pruning (S14 on the lake
+        table): hashes the key to its single bucket, reads only that
+        bucket's manifest + files — O(1) metadata and one file group
+        touched regardless of table size (Iceberg bucket-partition
+        pruning analog)."""
+        snap = self.snapshot()
+        key = self.key_field(snap)
+        bucket = (
+            self.spark.range(1)
+            .select(self.bucket_expr(F.lit(key_value)).alias("b"))
+            .collect()[0]["b"]
+        )
+        df = self._read_reconciled(snap, {bucket})
+        return (
+            df.filter(F.col(key) == key_value)
+            .filter(~F.col(SYS_DELETED))
+            .drop(SYS_LSN, SYS_DELETED)
+        )
+
+    # ----------------------------------------------------- maintenance
+
+    def compact(self, max_files_per_bucket: int = 1) -> dict:
+        """Small-file compaction (Iceberg rewrite_data_files analog):
+        rewrite every bucket holding more than ``max_files_per_bucket``
+        files into one file per bucket, commit as a new snapshot. Data
+        is unchanged (tombstones retained — compaction must not lose
+        the delete guard); only file layout and metadata shrink.
+        Needed at design scale: each ``mode="delta"`` streaming commit
+        adds a delta layer per touched bucket, so buckets accrete
+        O(commits-since-compaction) small files whose read-side
+        reconciliation would otherwise dominate scan costs — compaction
+        is the amortized half of the merge-on-read bargain."""
+        snap = self.snapshot()
+        counts: dict[int, int] = {}
+        for f in self.files(snap):
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        fat = {b for b, c in counts.items() if c > max_files_per_bucket}
+        if not fat:
+            return {"compacted_buckets": 0, "version": snap["version"]}
+
+        fields = self.fields(snap)
+        # reconciled read: folding delta layers into the base applies
+        # the same max-(lsn, deleted) winner rule reads use, so the
+        # compacted base is byte-equivalent to the pre-compaction view
+        # (tombstones retained — the delete guard must survive)
+        df = self._read_reconciled(snap, fat).withColumn(
+            SYS_BUCKET, self.bucket_expr(F.col(self.key_field(snap)))
+        )
+        out_dir = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex}")
+        phys = {f"f_{f['id']}": f["type"] for f in fields}
+        (
+            df.select(
+                *[F.col(f["name"]).alias(f"f_{f['id']}") for f in fields],
+                F.col(SYS_LSN),
+                F.col(SYS_DELETED),
+                F.col(SYS_BUCKET),
+            )
+            .repartition(len(fat), F.col(SYS_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(SYS_BUCKET)
+            .parquet(out_dir)
+        )
+        new_files = self._collect_written_files(out_dir, phys)[0]
+
+        version = snap["version"] + 1
+        by_bucket: dict[str, list[dict]] = {}
+        for fmeta in new_files:
+            by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
+        manifest_path = self._manifest_path(version)
+        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": by_bucket}, f, indent=1)
+        os.replace(tmp, manifest_path)
+        manifests = {b: list(v) for b, v in snap["manifests"].items()}
+        for b in fat:
+            manifests.pop(str(b), None)
+        for b in by_bucket:
+            manifests[b] = [manifest_path]
+        snap2 = dict(snap)
+        snap2["version"] = version
+        snap2["parent"] = snap["version"]
+        snap2["manifests"] = manifests
+        snap2["committed_at"] = time.time()
+        self._append_lineage(
+            version,
+            {"type": "compaction", "buckets": sorted(fat)},
+        )
+        self._write_snapshot(snap2)
+        return {"compacted_buckets": len(fat), "version": version}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Delete data files no snapshot in the retained window
+        references (Iceberg expire_snapshots analog). Keeps the last
+        ``keep_last`` snapshots readable (time travel window); older
+        snapshot JSONs remain (tiny) but their exclusive files go."""
+        current = self.current_version()
+        keep_versions = [
+            v
+            for v in range(max(0, current - keep_last + 1), current + 1)
+            if os.path.exists(self._snap_path(v))
+        ]
+        live: set[str] = set()
+        for v in keep_versions:
+            for f in self.files(self.snapshot(v)):
+                live.add(f["path"])
+        removed = 0
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                path = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and path not in live:
+                    os.remove(path)
+                    removed += 1
+        return {"removed_files": removed, "kept_versions": keep_versions}
 
     # ----------------------------------------------------------- merge
+
+    def _collect_written_files(
+        self, out_dir: str, phys: dict
+    ) -> tuple[list[dict], int]:
+        """Enumerate bucket-partitioned parquet output -> (file entries,
+        total rows). Row counts come from parquet footers driver-side —
+        no Spark job."""
+        new_files: list[dict] = []
+        total_rows = 0
+        for bucket_dir in sorted(os.listdir(out_dir)):
+            if not bucket_dir.startswith(f"{SYS_BUCKET}="):
+                continue
+            bucket = int(bucket_dir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
+                if fn.endswith(".parquet"):
+                    path = os.path.join(out_dir, bucket_dir, fn)
+                    total_rows += _parquet_num_rows(path)
+                    new_files.append(
+                        {"path": path, "bucket": bucket, "phys": phys}
+                    )
+        return new_files, total_rows
 
     def bucket_expr(self, key_col) -> F.Column:
         n = self.snapshot()["n_buckets"]
@@ -360,11 +532,26 @@ class LakeTable:
         batch_id: str | None = None,
         lineage: dict | None = None,
         touched_hint: set[int] | None = None,
+        mode: str = "cow",
     ) -> dict:
-        """LSN-guarded keyed MERGE (I/U upsert, D tombstone), rewriting
-        only touched buckets. ``source`` must carry the table's data
-        columns plus ``lsn_col``/``op_col`` and be pre-deduped to one
-        row per key (cdc/apply.py does the salted max-LSN dedup).
+        """LSN-guarded keyed MERGE (I/U upsert, D tombstone) into the
+        touched buckets. ``source`` must carry the table's data columns
+        plus ``lsn_col``/``op_col`` and be pre-deduped to one row per
+        key (cdc/apply.py does the salted max-LSN dedup).
+
+        ``mode``:
+        - ``"cow"`` (copy-on-write): read the touched buckets, reduce
+          union(target, source) to the max-(lsn, deleted) winner per
+          key, rewrite those buckets as fresh base files. Reads stay
+          reconciliation-free; each commit rewrites whole buckets.
+        - ``"delta"`` (merge-on-read): append the batch as delta files
+          per touched bucket WITHOUT reading or rewriting the base —
+          O(batch) write cost instead of O(touched bucket size). Reads
+          reconcile layers with the same winner rule; ``compact()``
+          folds layers back into base files. This is the write-
+          amplification fix at design scale: a 1k-row micro-batch must
+          not rewrite a 10^8-row bucket (Iceberg MOR / position-delete
+          analog, expressed as LSN-versioned row layers).
 
         ``touched_hint``: the exact set of buckets the source touches,
         when the caller can compute it more cheaply than running the
@@ -379,6 +566,8 @@ class LakeTable:
 
         Returns commit stats. Re-submitting an applied ``batch_id`` is a
         no-op (exactly-once under foreachBatch retry)."""
+        if mode not in ("cow", "delta"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         snap = self.snapshot()
         if batch_id is not None and self.is_applied(batch_id, snap):
             return {"skipped": True, "version": snap["version"]}
@@ -406,23 +595,23 @@ class LakeTable:
                 r[0] for r in src.select(SYS_BUCKET).distinct().collect()
             }
 
-        target = self.read_raw(buckets=touched).withColumn(
-            SYS_BUCKET, self.bucket_expr(F.col(key))
-        )
-
-        merged = (
-            target.unionByName(src)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(key).orderBy(
-                        F.desc(SYS_LSN), F.desc(SYS_DELETED)
-                    )
-                ),
+        if mode == "cow":
+            target = self.read_raw(buckets=touched).withColumn(
+                SYS_BUCKET, self.bucket_expr(F.col(key))
             )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+            # winner per key = max (lsn, deleted) — an algebraic max_by
+            # aggregation, NOT a row_number window: partial aggregation
+            # pre-collapses per map partition (same skew rationale as
+            # the dedup stage, cdc/apply.py::dedup_max_lsn) and skips
+            # the window's full per-partition sort. Tombstone outranks
+            # a live row at the same lsn (true > false).
+            merged = self._winner_per_key(
+                target.unionByName(src), key
+            )
+        else:
+            # delta: the (already per-key-deduped) batch rows ARE the
+            # commit — no base read, no winner aggregation, no rewrite
+            merged = src
 
         out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
         phys = {f"f_{f['id']}": f["type"] for f in fields}
@@ -434,23 +623,10 @@ class LakeTable:
         ).repartition(max(len(touched), 1), F.col(SYS_BUCKET))
         write_df.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
 
-        new_files = []
-        merged_rows = 0
-        for bucket_dir in sorted(os.listdir(out_dir)):
-            if not bucket_dir.startswith(f"{SYS_BUCKET}="):
-                continue
-            bucket = int(bucket_dir.split("=")[1])
-            for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
-                if fn.endswith(".parquet"):
-                    path = os.path.join(out_dir, bucket_dir, fn)
-                    merged_rows += _parquet_num_rows(path)
-                    new_files.append(
-                        {
-                            "path": path,
-                            "bucket": bucket,
-                            "phys": phys,
-                        }
-                    )
+        new_files, merged_rows = self._collect_written_files(out_dir, phys)
+        if mode == "delta":
+            for fmeta in new_files:
+                fmeta["delta"] = True
 
         if persisted:
             src.unpersist()
@@ -468,11 +644,17 @@ class LakeTable:
             json.dump({"version": version, "files": by_bucket}, f, indent=1)
         os.replace(tmp, manifest_path)
 
-        manifests = dict(snap["manifests"])
-        for b in touched:
-            manifests.pop(str(b), None)
-        for b in by_bucket:
-            manifests[b] = manifest_path
+        manifests = {b: list(v) for b, v in snap["manifests"].items()}
+        if mode == "cow":
+            # rewritten buckets: this manifest becomes the only layer
+            for b in touched:
+                manifests.pop(str(b), None)
+            for b in by_bucket:
+                manifests[b] = [manifest_path]
+        else:
+            # delta: append a layer per touched bucket, keep the base
+            for b in by_bucket:
+                manifests.setdefault(b, []).append(manifest_path)
 
         snap2 = {
             "version": version,

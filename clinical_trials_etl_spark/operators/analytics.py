@@ -304,14 +304,20 @@ FROM customer GROUP BY cohort ORDER BY cohort
 
 def q_w1_rolling_mean_daily(spark, sf_dir):
     """(W1) centered rolling mean k=3 over daily counts —
-    st_trial_analytics.py:1200."""
+    st_trial_analytics.py:1200. Reference semantics exactly: pandas
+    ``rolling(3, center=True).mean()`` defaults min_periods to the
+    window size, so the first and last rows (incomplete windows) are
+    NaN -> NULL here, not 2-element means."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count("*").alias("cnt")
     )
     w = Window.orderBy("day").rowsBetween(-1, 1)
+    full = F.count("cnt").over(w) == 3
     return daily.select(
-        "day", "cnt", F.avg("cnt").over(w).alias("rolling_avg")
+        "day",
+        "cnt",
+        F.when(full, F.avg("cnt").over(w)).alias("rolling_avg"),
     ).orderBy("day")
 
 
@@ -321,9 +327,11 @@ WITH daily AS (
   FROM events GROUP BY day
 )
 SELECT day, cnt,
-       AVG(cnt) OVER (ORDER BY day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+       CASE WHEN COUNT(cnt) OVER w = 3 THEN AVG(cnt) OVER w END
          AS rolling_avg
-FROM daily ORDER BY day
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+ORDER BY day
 """
 
 

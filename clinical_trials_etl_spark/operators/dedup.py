@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from clinical_trials_etl_spark.operators.common import scan_parallel
+
 N_MINHASH = 32
 N_BANDS = 8  # rows per band = N_MINHASH // N_BANDS = 4
 SHINGLE_K = 3
@@ -69,8 +71,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     least one shingle (bounded to doc_id < 300 so the oracle join stays
     cheap; the unbounded path goes through MinHash-LSH below)."""
     d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
+        scan_parallel(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
@@ -123,14 +124,41 @@ ORDER BY doc_a, doc_b
 """
 
 
+LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + array<long> of N_MINHASH min-hashes, all JVM expressions."""
+    """doc_id + array<long> of N_MINHASH min-hashes, all JVM expressions.
+
+    Hash family i is ``xxhash64(i, shingle)`` (seeded by the function
+    index). Computed in ONE aggregate pass: the shingle array is the
+    aggregate's input — evaluated exactly once — and the accumulator is
+    the running element-wise min of the per-shingle hash vector. The
+    obvious ``array(array_min(transform(sh, ...)) for i ...)`` form
+    re-evaluates the shingle construction once per hash function (32x;
+    higher-order expressions inline their inputs), and its idiomatic
+    Python spelling ``lambda s, i=i:`` is a two-parameter lambda that
+    PySpark binds as (element, index) — silently replacing the seed
+    with the array position and collapsing all 32 functions into one
+    (tests/test_similarity.py pins both the seeds-differ property and
+    equality with a per-function definitional form).
+
+    Input is repartitioned first: the shingle+hash kernel must run at
+    cluster parallelism, not scan-split parallelism (see
+    common.scan_parallel)."""
+    df = scan_parallel(df)
     sh = _shingles(F.col(text_col))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(N_MINHASH)
-        ]
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(LONG_MAX), N_MINHASH),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+                lambda i: F.xxhash64(i, s),
+            ),
+            lambda a, h: F.least(a, h),
+        ),
     )
     return df.select("doc_id", sig.alias("sig"))
 
@@ -244,7 +272,7 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit signatures, 4 bands of 16 bits for
     candidate buckets, hamming distance <= 6 via bit_count(xor).
     Spark-only (rows-only driver check; semantics pinned in tests)."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = scan_parallel(_t(spark, sf_dir, "documents")).select(
         "doc_id", simhash_column(F.col("text")).alias("sh")
     )
     bands = d.select(

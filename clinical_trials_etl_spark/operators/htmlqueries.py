@@ -29,11 +29,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clinical_trials_etl_spark.dist import ensure_package_on_executors
+from clinical_trials_etl_spark.operators.common import scan_parallel
 from clinical_trials_etl_spark.functions import html_extract as HX
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # repartition ahead of the Arrow parse kernel: single-row-group
+    # parquet = one scan task (common.scan_parallel)
+    return scan_parallel(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _b(expr):

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from clinical_trials_etl_spark.dist import ensure_package_on_executors
+from clinical_trials_etl_spark.operators.common import scan_parallel
 
 FEATURE_DIM = 8
 
@@ -75,7 +76,7 @@ def q_mm_feature_extract(spark, sf_dir):
     real codec to get real features with the identical Spark plan.
     Spark-only (rows-only driver check; determinism pinned in tests)."""
     ensure_package_on_executors(spark)
-    d = with_payload(_t(spark, sf_dir, "documents"))
+    d = with_payload(scan_parallel(_t(spark, sf_dir, "documents")))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

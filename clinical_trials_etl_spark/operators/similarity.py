@@ -28,21 +28,26 @@ again. The banded 64-bit design here keeps the verify-join sub-quadratic
 by making band width a parameter: at 10^10 rows use N_PLANES=128 with 4
 bands of 32 bits (10^10 / 2^32 ~ 2.3 rows per bucket), recovering recall
 with multiple independent bands rather than narrow buckets. Defaults
-below (64 planes, 8 bands of 8 bits) are sized for the test tables,
-where perfect recall at cos >= 0.95 is asserted against the brute-force
-ground truth (tests/test_similarity.py); the same code path serves both
-by changing constants.
+below (64 planes, 4 bands of 16 bits) hold perfect recall on the
+planted near-duplicate tests against brute-force ground truth
+(tests/test_similarity.py); the same code path serves larger scales by
+raising N_PLANES/band width.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from clinical_trials_etl_spark.operators.common import scan_parallel
+
 QUERY_VEC_ID = 0  # deterministic query point for the top-k demos
 TOP_K = 10
 N_PLANES = 64
-# near-dup banding (test-scale defaults; see bucket-size math above)
-ND_BANDS = 8
+# near-dup banding: 4 bands x 16 bits (the simhash layout). At n=2000
+# an 8-bit band (256 buckets) produced ~61k random candidate pairs;
+# 16-bit bands keep buckets near-singleton while 4 independent bands
+# hold recall >= 0.999 for cos >= 0.999 near-dups (see math above).
+ND_BANDS = 4
 ND_BAND_BITS = N_PLANES // ND_BANDS
 # ANN multi-probe: candidates within this hamming distance of the query
 # signature (on the full 64-bit signature) are scored
@@ -134,8 +139,8 @@ def hyperplane_signature(vec_col_name: str, n_planes: int = N_PLANES) -> Column:
           zip_with({v}, sequence(0, size({v}) - 1),
                    (x, i) -> struct(CAST(x AS DOUBLE) AS x, xxhash64(i) AS h)),
           array_repeat(CAST(0.0 AS DOUBLE), {n_planes}),
-          (acc, e) -> zip_with(
-            acc, sequence(0, {n_planes - 1}),
+          (acc, e) -> transform(
+            acc,
             (v, p) -> v + IF((shiftright(e.h, p) & 1) = 1, e.x, -e.x)
           ),
           acc -> aggregate(
@@ -158,9 +163,9 @@ def ann_topk(emb_df, query_id: int = QUERY_VEC_ID, k: int = TOP_K,
     vectors up to ~theta = pi * hamming/64 of the query while the scan
     prunes the rest JVM-side."""
     vec = _vec_double(F.col("embedding"))
-    sigs = emb_df.select("vec_id", "label", vec.alias("vec")).withColumn(
-        "sig", hyperplane_signature("vec")
-    )
+    sigs = scan_parallel(emb_df).select(
+        "vec_id", "label", vec.alias("vec")
+    ).withColumn("sig", hyperplane_signature("vec"))
     q = sigs.filter(F.col("vec_id") == query_id).select(
         F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
@@ -193,7 +198,7 @@ def near_dup_pairs(emb_df, threshold: float = 0.95,
     candidate pairs afterwards, so the wide payload never rides the
     banded explode/shuffle (the round-1 plan shipped both full vectors
     through every band)."""
-    sigs = emb_df.select(
+    sigs = scan_parallel(emb_df).select(
         "vec_id", _vec_double(F.col("embedding")).alias("vec")
     ).withColumn("sig", hyperplane_signature("vec"))
 

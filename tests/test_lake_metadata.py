@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from clinical_trials_etl_spark.cdc.apply import apply_batch
 from clinical_trials_etl_spark.cdc.replay import create_pages_table
 
@@ -80,3 +82,117 @@ def test_lineage_sidecars_in_commit_order(spark, tmp_path):
         "e-1",
         "e-2",
     ]
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    table = create_pages_table(spark, str(tmp_path / "t4"), n_buckets=8)
+    urls = [f"https://site{i}.example/page" for i in range(12)]
+    apply_batch(table, _batch(spark, 0, urls), "e-0")
+    rows = table.lookup("https://site3.example/page").collect()
+    assert len(rows) == 1 and rows[0]["url"] == "https://site3.example/page"
+    assert table.lookup("https://nope.example/x").count() == 0
+    # pruning: the lookup resolves file entries for exactly one bucket
+    snap = table.snapshot()
+    bucket = (
+        spark.range(1)
+        .select(table.bucket_expr(F.lit("https://site3.example/page")).alias("b"))
+        .collect()[0]["b"]
+    )
+    pruned = table.files(snap, {bucket})
+    assert pruned and {f["bucket"] for f in pruned} == {bucket}
+    assert len(pruned) < len(table.files(snap))
+
+
+def test_delta_commits_do_not_rewrite_base(spark, tmp_path):
+    """Merge-on-read: a delta commit appends a layer and leaves the
+    bucket's existing files untouched — O(batch) write cost (the
+    write-amplification fix), with reads reconciling layers."""
+    table = create_pages_table(spark, str(tmp_path / "t5a"), n_buckets=2)
+    apply_batch(table, _batch(spark, 0, ["https://h0.x/a", "https://h1.x/b"]),
+                "e-0")  # cow base
+    base_paths = {f["path"] for f in table.files()}
+    apply_batch(table, _batch(spark, 100, ["https://h0.x/a"]), "e-1",
+                merge_mode="delta")
+    after = table.files()
+    assert base_paths <= {f["path"] for f in after}  # base untouched
+    assert any(f.get("delta") for f in after)
+    # reconciliation: the delta row (higher lsn) wins on read
+    row = table.read().filter(F.col("url") == "https://h0.x/a").collect()[0]
+    assert row["text"].endswith("-100")
+    # and a stale delta (lower lsn) loses
+    apply_batch(table, _batch(spark, 50, ["https://h0.x/a"]), "e-2",
+                merge_mode="delta")
+    row = table.read().filter(F.col("url") == "https://h0.x/a").collect()[0]
+    assert row["text"].endswith("-100")
+
+
+def test_cow_and_delta_replays_converge_identically(spark, tmp_path):
+    urls = [f"https://h{i % 4}.x/p{i % 6}" for i in range(12)]
+    t_cow = create_pages_table(spark, str(tmp_path / "t5b"), n_buckets=4)
+    t_mor = create_pages_table(spark, str(tmp_path / "t5c"), n_buckets=4)
+    for i in range(4):
+        chunk = urls[i * 3:(i + 1) * 3]
+        apply_batch(t_cow, _batch(spark, i * 10, chunk), f"e-{i}")
+        apply_batch(t_mor, _batch(spark, i * 10, chunk), f"e-{i}",
+                    merge_mode="delta")
+    want = {(r["url"], r["text"]) for r in t_cow.read().collect()}
+    assert {(r["url"], r["text"]) for r in t_mor.read().collect()} == want
+    # compacting the MOR table changes nothing visible
+    t_mor.compact()
+    assert {(r["url"], r["text"]) for r in t_mor.read().collect()} == want
+
+
+def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path):
+    table = create_pages_table(spark, str(tmp_path / "t5"), n_buckets=2)
+    # delta commits -> layers accrete per bucket
+    apply_batch(table, _batch(spark, 0, ["https://h0.x/p0", "https://h1.x/p1"]),
+                "e-0")
+    for i in range(1, 6):
+        apply_batch(
+            table, _batch(spark, i * 10, [f"https://h{i % 3}.x/p{i}"]),
+            f"e-{i}", merge_mode="delta",
+        )
+    # delete one row so a tombstone exists through compaction
+    tomb = spark.createDataFrame(
+        [(999, "D", "https://h0.x/p0", None, None, None, None, None, 1)], COLS
+    )
+    apply_batch(table, tomb, "e-99", merge_mode="delta")
+    before = {r["url"]: r["text"] for r in table.read().collect()}
+    files_before = len(table.files())
+    stats = table.compact()
+    assert stats["compacted_buckets"] >= 1
+    after = {r["url"]: r["text"] for r in table.read().collect()}
+    assert after == before
+    assert len(table.files()) < files_before
+    assert len(table.files()) <= 2  # one file per bucket
+    assert not any(f.get("delta") for f in table.files())
+    # the tombstone's LSN guard survives compaction: a late lower-lsn
+    # update still cannot resurrect the deleted row
+    late = spark.createDataFrame(
+        [(5, "U", "https://h0.x/p0", None, b"<p>late</p>", "en", None, None, 1)],
+        COLS,
+    )
+    apply_batch(table, late, "e-100")
+    assert table.read().filter(F.col("url") == "https://h0.x/p0").count() == 0
+
+
+def test_expire_snapshots_removes_orphans_keeps_current(spark, tmp_path):
+    import glob as g
+
+    table = create_pages_table(spark, str(tmp_path / "t6"), n_buckets=2)
+    for i in range(5):
+        apply_batch(
+            table, _batch(spark, i * 10, [f"https://h{i % 2}.x/p"]), f"e-{i}"
+        )
+    before = {r["url"]: r["text"] for r in table.read().collect()}
+    n_before = len(g.glob(str(tmp_path / "t6" / "data" / "**" / "*.parquet"),
+                          recursive=True))
+    stats = table.expire_snapshots(keep_last=2)
+    assert stats["removed_files"] > 0
+    n_after = len(g.glob(str(tmp_path / "t6" / "data" / "**" / "*.parquet"),
+                         recursive=True))
+    assert n_after < n_before
+    # current snapshot still reads identically
+    assert {r["url"]: r["text"] for r in table.read().collect()} == before
+    # previous retained snapshot also still readable
+    assert table.read(table.current_version() - 1).count() >= 1

@@ -163,3 +163,51 @@ def test_minhash_slim_plan_is_output_identical(spark, sf_dir):
         for r in D.q_dedup_minhash_lsh(spark, sf_dir).collect()
     )
     assert got == expected
+
+
+def test_minhash_seeds_differ_and_match_definitional_form(spark):
+    """Regression for the two-parameter-lambda trap: the 32 hash
+    functions must be genuinely independent (seeded by function index),
+    equal to the literal per-function definition
+    array_min(transform(sh, s -> xxhash64(i, s)))."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today again")],
+        ["doc_id", "text"],
+    )
+    sig = D.minhash_signatures(df).collect()[0]["sig"]
+    assert len(set(sig)) > 16, "hash functions collapsed to one seed"
+
+    sh = D._shingles(F.col("text"))
+
+    def one(i):
+        return F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    naive = df.select(
+        F.array(*[one(i) for i in range(D.N_MINHASH)]).alias("sig")
+    ).collect()[0]["sig"]
+    assert sig == naive
+
+
+def test_minhash_finds_planted_text_near_dups(spark):
+    """Planted near-duplicate documents (one-word edits) must surface
+    with high estimated Jaccard; unrelated docs must not pair."""
+    base = (
+        "spark shuffles partition data across executors while parquet "
+        "footers carry row group statistics for pruning and codegen "
+        "keeps expressions inside the jvm pipeline for speed"
+    )
+    edited = base.replace("statistics", "histograms")
+    docs = [
+        (0, base),
+        (1, edited),
+        (2, "completely different words about html selectors and label "
+            "value extraction across nested document trees with tables"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+    est01 = sum(a == b for a, b in zip(sigs[0], sigs[1])) / D.N_MINHASH
+    est02 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / D.N_MINHASH
+    assert est01 >= 0.5
+    assert est02 < 0.2
