@@ -92,11 +92,20 @@ def run_stream(
     metrics_path: str | None = None,
     registry: dict | None = None,
     n_salt: int | None = None,
+    merge_mode: str | None = None,
+    compact_every: int | None = None,
 ):
     """Process everything currently in ``log_dir`` through streaming
     micro-batches and stop (processAllAvailable). Safe to call again
     after a kill: the checkpoint resumes from committed offsets and the
-    lake table skips already-applied epochs."""
+    lake table skips already-applied epochs.
+
+    ``merge_mode="delta"`` + ``compact_every=K``: merge-on-read
+    streaming — each epoch appends O(batch) delta layers, and every K
+    applied epochs the table folds layers back into base files
+    (LakeTable.compact). Compaction is itself an idempotent snapshot
+    commit, so a crash between apply and compact just defers the fold
+    to the next boundary."""
     listener = MetricsListener()
     spark.streams.addListener(listener)
 
@@ -107,16 +116,23 @@ def run_stream(
         .parquet(log_dir)
     )
 
+    applied = {"n": 0}
+
     def handle(batch_df, epoch_id: int):
         kwargs = {} if n_salt is None else {"n_salt": n_salt}
-        apply_batch(
+        stats = apply_batch(
             table,
             batch_df,
             batch_id=f"epoch-{epoch_id}",
             registry=registry,
             lineage={"epoch": epoch_id},
+            merge_mode=merge_mode,
             **kwargs,
         )
+        if not stats.get("skipped"):
+            applied["n"] += 1
+            if compact_every and applied["n"] % compact_every == 0:
+                table.compact()
 
     query = (
         source.writeStream.foreachBatch(handle)

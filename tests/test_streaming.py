@@ -73,3 +73,27 @@ def test_stream_full_state_equivalence(spark, log_dir, tmp_path):
         assert r["text"] == w["text"]
         assert r["language"] == w["language"]
         assert r["warc_ts"] == w["warc_ts"]
+
+
+def test_stream_merge_on_read_with_compaction(spark, log_dir, tmp_path):
+    """Delta-mode streaming + periodic compaction converges to the
+    identical state as COW streaming, and the compaction boundary
+    actually folded layers (some commits are compactions)."""
+    table = create_pages_table(spark, str(tmp_path / "tbl_mor"), n_buckets=8)
+    run_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt_mor"),
+        max_files_per_trigger=1, merge_mode="delta", compact_every=2,
+    )
+    want = _expected(spark, log_dir)
+    got = {r["url"]: r["text"] for r in table.read().collect()}
+    assert set(got) == set(want)
+    assert all(got[u] == want[u]["text"] for u in want)
+    kinds = {e["type"] for e in table.lineage()}
+    assert "compaction" in kinds
+    # a kill/resume over the same checkpoint is a no-op
+    v = table.current_version()
+    run_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt_mor"),
+        max_files_per_trigger=1, merge_mode="delta", compact_every=2,
+    )
+    assert table.current_version() == v
