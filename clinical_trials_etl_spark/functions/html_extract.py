@@ -117,7 +117,9 @@ def make_fields_extractor(selectors: dict[str, str]):
     """One UDF evaluating a whole selector table (the reference's
     config/selectors.py projection spec) in a single parse per document,
     returning a struct. This is the scale-correct shape: N fields cost
-    one DOM build, not N."""
+    one DOM build and ONE document walk (htmldom.select_first_many
+    indexes branches by subject tag), not N of each — the reference
+    evaluates ~213 selectors per page, so both factors matter."""
     names = list(selectors)
     schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
 
@@ -126,13 +128,17 @@ def make_fields_extractor(selectors: dict[str, str]):
         rows = []
         for payload in html:
             root = htmldom.parse(_decode(payload))
-            row = {}
-            for name in names:
-                node = htmldom.select_one(root, selectors[name])
-                row[name] = (
-                    "" if node is None else clean_text_py(node.text.strip())
-                )
-            rows.append(row)
+            found = htmldom.select_first_many(root, selectors)
+            rows.append(
+                {
+                    name: (
+                        ""
+                        if found[name] is None
+                        else clean_text_py(found[name].text.strip())
+                    )
+                    for name in names
+                }
+            )
         return pd.DataFrame(rows, columns=names)
 
     return fields_udf

@@ -409,3 +409,38 @@ def select_one(scope: Node, selector: str) -> Node | None:
             if _matches_at(node, steps, scope, len(steps) - 1):
                 return node
     return None
+
+
+def select_first_many(
+    scope: Node, selectors: dict[str, str]
+) -> dict[str, Node | None]:
+    """``select_one`` for a whole selector table in ONE document walk.
+
+    The reference evaluates ~213 selector expressions per page
+    (config/selectors.py) — one full-tree walk each is 213x the
+    traversal work. Here every branch is indexed by its subject
+    (rightmost) compound's tag, so each node only tests the branches
+    whose subject could match it; the walk stops once every name has
+    its first match. Output is equal to calling select_one per entry
+    (pinned by tests/test_html_golden.py)."""
+    results: dict[str, Node | None] = {name: None for name in selectors}
+    by_tag: dict[str | None, list] = {}
+    for name, selector in selectors.items():
+        for steps in _compile(selector):
+            subject = steps[-1][1]
+            by_tag.setdefault(subject.tag, []).append((name, steps))
+    pending = set(results)
+    wildcard = by_tag.get(None, ())
+    for node in scope.iter():
+        if node is scope:
+            continue
+        for bucket in (by_tag.get(node.tag, ()), wildcard):
+            for name, steps in bucket:
+                if results[name] is None and _matches_at(
+                    node, steps, scope, len(steps) - 1
+                ):
+                    results[name] = node
+                    pending.discard(name)
+        if not pending:
+            break
+    return results

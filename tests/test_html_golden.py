@@ -289,3 +289,38 @@ def test_multi_field_single_parse(spark):
     )
     row = df.select(udf("html").alias("f")).select("f.*").collect()[0]
     assert (row["h"], row["s"], row["missing"]) == ("K1", "K2", "")
+
+
+def test_select_first_many_equals_per_selector_select_one():
+    """The single-walk multi-selector evaluator must return exactly
+    what select_one returns per entry, across every reference selector
+    golden (including the strict-CSS non-matches)."""
+    root = htmldom.parse(CTIS_FIXTURE)
+    table = {
+        f"s{i}": sel for i, (sel, _exp) in enumerate(REFERENCE_SELECTOR_GOLDENS)
+    }
+    combined = htmldom.select_first_many(root, table)
+    for name, sel in table.items():
+        assert combined[name] is htmldom.select_one(root, sel), sel
+
+
+def test_select_first_many_walks_once_fast():
+    """Traversal sanity: evaluating the whole table in one walk must
+    not be slower than per-selector walks (it should be much faster on
+    wide tables; asserted loosely to stay robust under host noise)."""
+    import time
+
+    root = htmldom.parse(CTIS_FIXTURE * 3)
+    table = {
+        f"s{i}": sel for i, (sel, _exp) in enumerate(REFERENCE_SELECTOR_GOLDENS)
+    }
+    t0 = time.perf_counter()
+    for _ in range(30):
+        htmldom.select_first_many(root, table)
+    one_walk = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(30):
+        for sel in table.values():
+            htmldom.select_one(root, sel)
+    per_sel = time.perf_counter() - t0
+    assert one_walk < per_sel * 1.2

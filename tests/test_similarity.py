@@ -211,3 +211,30 @@ def test_minhash_finds_planted_text_near_dups(spark):
     est02 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / D.N_MINHASH
     assert est01 >= 0.5
     assert est02 < 0.2
+
+
+def test_ivf_finds_planted_neighbors(planted):
+    """IVF-flat: the coarse quantizer + nprobe probing must surface the
+    planted near-copy of the query vector, deterministically."""
+    df, _truth = planted
+    out = S.ivf_topk(df, query_id=0, k=5).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 100 and out[0]["cos_sim"] >= 0.99
+    again = [r["vec_id"] for r in S.ivf_topk(df, query_id=0, k=5).collect()]
+    assert ids == again
+
+
+def test_ivf_probes_subset_of_lists(planted):
+    """The probe set must actually prune: candidates scored come from
+    nprobe of the n_lists inverted lists, not the whole table."""
+    df, _truth = planted
+    cents = S.ivf_build(df, k=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    from pyspark.sql import functions as F2
+    base = df.select(
+        "vec_id", S._vec_double(F2.col("embedding")).alias("vec")
+    ).withColumn("list_id", S._nearest_centroid("vec", cents))
+    sizes = {r["list_id"]: r["n"] for r in
+             base.groupBy("list_id").agg(F2.count("*").alias("n")).collect()}
+    assert len(sizes) >= 2  # quantizer actually splits the space
+    assert sum(sizes.values()) == df.count()
