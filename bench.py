@@ -34,6 +34,18 @@ from clinical_trials_etl_spark.session import get_spark  # noqa: E402
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "200000"))
 
 
+def spin_canary() -> float:
+    """Fixed single-thread CPU loop; wall time moves 1:1 with hypervisor
+    steal (quiet baseline ~0.19 s on this VM, observed 1.5-3x under
+    co-tenant load — see BENCH/BASELINE.md). Recorded so each bench
+    JSON carries its own contention reading."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -103,10 +115,12 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench", cores=cpus)
 
+    canary_before = spin_canary()
     t0 = time.perf_counter()
     qtimes = bench_queries(spark, sf_dir)
     cdc = bench_cdc(spark, CDC_EVENTS)
     total = time.perf_counter() - t0
+    canary_after = spin_canary()
 
     print(json.dumps({
         "metric": "bench_total_wall",
@@ -115,6 +129,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
+        "spin_canary_sec": [canary_before, canary_after],
     }))
     spark.stop()
 

@@ -144,6 +144,51 @@ def make_fields_extractor(selectors: dict[str, str]):
     return fields_udf
 
 
+def table_records(table) -> list[dict]:
+    """<table> node -> header-keyed records, ragged rows skipped
+    (F17; html_utils.py:124-164). Headers from <thead th>, else the
+    first row's <th>."""
+    if table is None:
+        return []
+    headers = [th.text.strip() for th in htmldom.select(table, "thead th")]
+    if not headers:
+        first_row = htmldom.select_one(table, "tr")
+        if first_row is not None:
+            headers = [th.text.strip() for th in htmldom.select(first_row, "th")]
+    if not headers:
+        return []
+    body = htmldom.select_one(table, "tbody") or table
+    rows = []
+    for tr in htmldom.select(body, "tr"):
+        cells = [td.text.strip() for td in htmldom.select(tr, "td")]
+        if len(cells) == len(headers):
+            rows.append(dict(zip(headers, cells)))
+    return rows
+
+
+def list_items(node) -> list[str]:
+    """<ul>/<ol> node -> item texts (F18; html_utils.py:166-179)."""
+    if node is None:
+        return []
+    return [li.text.strip() for li in htmldom.select(node, "li")]
+
+
+def label_values(scope) -> dict[str, str]:
+    """p.bolder label -> next <p> value pairs, ':' suffix stripped from
+    labels (F19/P3; html_utils.py:181-230)."""
+    if scope is None:
+        return {}
+    result = {}
+    for label in htmldom.select(scope, "p.bolder"):
+        key = label.text.strip()
+        if key.endswith(":"):
+            key = key[:-1]
+        value_node = label.find_next("p")
+        if value_node is not None:
+            result[key] = value_node.text.strip()
+    return result
+
+
 _TABLE_SCHEMA = T.ArrayType(
     T.MapType(T.StringType(), T.StringType())
 )
@@ -151,65 +196,32 @@ _TABLE_SCHEMA = T.ArrayType(
 
 @F.pandas_udf(_TABLE_SCHEMA)
 def extract_table_udf(html: pd.Series) -> pd.Series:
-    """First <table> -> array<map<header,cell>>, ragged rows skipped
-    (F17; html_utils.py:124-164)."""
+    """First <table> -> array<map<header,cell>> (see table_records)."""
 
     def one(payload):
         root = htmldom.parse(_decode(payload))
-        table = htmldom.select_one(root, "table")
-        if table is None:
-            return []
-        headers = [
-            th.text.strip() for th in htmldom.select(table, "thead th")
-        ]
-        if not headers:
-            first_row = htmldom.select_one(table, "tr")
-            if first_row is not None:
-                headers = [
-                    th.text.strip() for th in htmldom.select(first_row, "th")
-                ]
-        if not headers:
-            return []
-        body = htmldom.select_one(table, "tbody") or table
-        rows = []
-        for tr in htmldom.select(body, "tr"):
-            cells = [td.text.strip() for td in htmldom.select(tr, "td")]
-            if len(cells) == len(headers):
-                rows.append(dict(zip(headers, cells)))
-        return rows
+        return table_records(htmldom.select_one(root, "table"))
 
     return html.map(one)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_list_udf(html: pd.Series) -> pd.Series:
-    """First <ul>/<ol> -> array of item texts (F18; html_utils.py:166-179)."""
+    """First <ul>/<ol> -> array of item texts (see list_items)."""
 
     def one(payload):
         root = htmldom.parse(_decode(payload))
-        lst = htmldom.select_one(root, "ul, ol")
-        if lst is None:
-            return []
-        return [li.text.strip() for li in htmldom.select(lst, "li")]
+        return list_items(htmldom.select_one(root, "ul, ol"))
 
     return html.map(one)
 
 
 @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
 def extract_label_values_udf(html: pd.Series) -> pd.Series:
-    """p.bolder label -> next <p> value pairs, ':' suffix stripped from
-    labels (F19/P3; html_utils.py:181-230)."""
+    """p.bolder label -> next <p> value map (see label_values)."""
 
     def one(payload):
         root = htmldom.parse(_decode(payload))
-        result = {}
-        for label in htmldom.select(root, "p.bolder"):
-            key = label.text.strip()
-            if key.endswith(":"):
-                key = key[:-1]
-            value_node = label.find_next("p")
-            if value_node is not None:
-                result[key] = value_node.text.strip()
-        return result
+        return label_values(root)
 
     return html.map(one)

@@ -28,9 +28,12 @@ to be the element sibling *immediately* after A — reference selectors
 that violate adjacency in the real documents (e.g. the
 ``sponsors.scientific_contact.phone`` chain) match nothing there too,
 and the extractor's '' default applies, byte-identically.
-Matching is scoped: every compound in the chain must bind to a strict
-descendant of the ``select()`` scope node (the reference always
-selects within a section container or the document root).
+Matching is scoped like soupsieve: the SUBJECT (rightmost compound)
+must be a strict descendant of the ``select()`` scope node, while the
+rest of the chain binds with full document context — ancestors above
+the scope, and the scope element itself, participate. This is what
+lets the reference apply selectors that name the section container
+(``div#locations > div > h3``) while iterating inside that section.
 
 This module is imported inside pandas UDFs only — one import per
 executor, zero per-row Python at the Spark plan level.
@@ -323,29 +326,27 @@ def _parse_branch(branch: str) -> list[tuple[str, _Compound]]:
     return steps
 
 
-def _in_scope(node: Node, scope: Node) -> bool:
-    anc = node.parent
-    while anc is not None:
-        if anc is scope:
-            return True
-        anc = anc.parent
-    return False
-
-
 def _matches_at(node: Node, steps, scope: Node, idx: int) -> bool:
+    """Right-to-left match with DOCUMENT context (soupsieve semantics):
+    only the subject (rightmost compound) is constrained to the scope's
+    subtree — enforced by the candidate enumeration in select()/
+    select_one(); non-subject compounds may bind anywhere up the real
+    document, including the scope element itself. This is what makes
+    ``section.select("div#locations > div > h3")`` work when section IS
+    div#locations, exactly as BeautifulSoup resolves it. A leading
+    ``>`` is the ``:scope >`` form (child of the scope node)."""
     comb, comp = steps[idx]
     if not comp.matches(node):
         return False
     if idx == 0:
-        # leftmost compound binds relative to the scope node
         if comb == " ":
-            return _in_scope(node, scope)
+            return True  # document context: any position
         if comb == ">":
             return node.parent is scope
         return False  # leading +/~ relative to scope: unsupported/CSS-invalid
     if comb == " ":
         anc = node.parent
-        while anc is not None and anc is not scope:
+        while anc is not None:
             if _matches_at(anc, steps, scope, idx - 1):
                 return True
             anc = anc.parent

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--n-salt", type=int, default=DEFAULT_SALT)
     p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--merge-mode", choices=["cow", "delta"], default=None,
+                   help="cow rewrites touched buckets; delta appends "
+                        "merge-on-read layers (pair with --compact-every)")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="fold delta layers into base files every N "
+                        "applied epochs (streaming only)")
     return p
 
 
@@ -80,6 +86,8 @@ def main(argv: list[str] | None = None) -> dict:
             max_files_per_trigger=args.max_files_per_trigger,
             metrics_path=args.metrics,
             n_salt=args.n_salt,
+            merge_mode=args.merge_mode,
+            compact_every=args.compact_every,
         )
         result = {
             "mode": "stream",

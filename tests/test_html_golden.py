@@ -324,3 +324,21 @@ def test_select_first_many_walks_once_fast():
             htmldom.select_one(root, sel)
     per_sel = time.perf_counter() - t0
     assert one_walk < per_sel * 1.2
+
+
+def test_scoped_select_uses_document_context():
+    """soupsieve semantics: only the subject must live inside the scope;
+    earlier compounds may bind to the scope element itself or above it.
+    The reference relies on this — section extractors apply selectors
+    that name their own section container (e.g. LOCATIONS_SELECTORS
+    'div#locations > div > h3' evaluated inside div#locations)."""
+    root = htmldom.parse(
+        "<div id='locations'><div><h3>France</h3></div>"
+        "<div><h3>Germany</h3></div></div>"
+    )
+    section = htmldom.select_one(root, "div#locations")
+    got = [n.text for n in htmldom.select(section, "div#locations > div > h3")]
+    assert got == ["France", "Germany"]
+    # but the subject itself must be BELOW the scope: the scope node
+    # never matches its own selector
+    assert htmldom.select(section, "div#locations") == []
