@@ -87,17 +87,25 @@ def extract_document(scope, spec: dict) -> dict:
     return out
 
 
-def make_document_extractor(spec: dict):
+def make_document_extractor(spec: dict, compact: bool = False):
     """Arrow pandas UDF: html binary -> nested document as JSON string
     (one parse + spec-driven assembly per page; the CDC-scale analog of
-    the reference's process_file extract_data step, main.py:160-243)."""
+    the reference's process_file extract_data step, main.py:160-243).
+
+    ``compact=True`` emits ``{"k":"v"}`` separators (no spaces) — the
+    byte format DuckDB's ``to_json`` produces, so the output can be
+    hash-compared against a SQL oracle."""
+    separators = (",", ":") if compact else None
 
     @F.pandas_udf(T.StringType())
     def doc_udf(html: pd.Series) -> pd.Series:
         def one(payload):
             root = htmldom.parse(_decode(payload))
             return json.dumps(
-                extract_document(root, spec), ensure_ascii=False, sort_keys=True
+                extract_document(root, spec),
+                ensure_ascii=False,
+                sort_keys=True,
+                separators=separators,
             )
 
         return html.map(one)

@@ -223,8 +223,60 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------- composed document
+
+_DOC_SPEC = {
+    # flat fields resolved in one walk; nested section with scoping;
+    # keys sorted in the JSON so the byte format is deterministic
+    "euct": "p.bolder:-soup-contains('EUCT number:') + p",
+    "phase": "p.bolder:-soup-contains('Trial Phase:') + p",
+    "info": {
+        "__scope__": "div#trial_information",
+        "condition": "p.bolder:-soup-contains('Medical condition') + p",
+    },
+}
+
+
+def q_html_document_assembly(spark, sf_dir):
+    """Composed nested-document extraction (the reference's main
+    program shape, main.py:225-243) with a hash-checked oracle: the
+    assembled document is emitted as compact sorted-key JSON, which is
+    byte-identical to DuckDB's to_json over the same construction."""
+    ensure_package_on_executors(spark)
+    from clinical_trials_etl_spark.functions import document_extract as DX
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<div><p class="bolder">EUCT number:</p><p>EUCT-'),
+        F.col("doc_id").cast("string"),
+        F.lit('</p><p class="bolder">Trial Phase:</p><p>Phase '),
+        F.upper(F.col("lang")),
+        F.lit('</p><div id="trial_information">'),
+        F.lit('<p class="bolder">Medical condition:</p><p>'),
+        F.col("source"),
+        F.lit("</p></div></div>"),
+    )
+    udf = DX.make_document_extractor(_DOC_SPEC, compact=True)
+    return d.select("doc_id", udf(_b(html)).alias("doc")).orderBy("doc_id")
+
+
+SQL_HTML_DOCUMENT_ASSEMBLY = """
+SELECT doc_id,
+       to_json(struct_pack(
+         euct := 'EUCT-' || CAST(doc_id AS VARCHAR),
+         info := struct_pack(condition := source),
+         phase := 'Phase ' || upper(lang)
+       )) AS doc
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "html_extract_text": (q_html_extract_text, SQL_HTML_EXTRACT_TEXT),
+    "html_document_assembly": (
+        q_html_document_assembly,
+        SQL_HTML_DOCUMENT_ASSEMBLY,
+    ),
     "html_selector_fields": (q_html_selector_fields, SQL_HTML_SELECTOR_FIELDS),
     "html_table_records": (q_html_table_records, SQL_HTML_TABLE_RECORDS),
     "html_list_items": (q_html_list_items, SQL_HTML_LIST_ITEMS),
