@@ -151,9 +151,71 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end corpus-cleaning pipeline — the composition a
+    training-data prep job actually runs (C4/Gopher-style, public
+    literature): exact dedup keeps the lowest doc_id per content
+    fingerprint, quality gates drop short/stopword-free docs, and the
+    survivors carry their token counts for budget accounting.
+
+    Plan shape at 100 TB: ONE shuffle keyed by the content digest (the
+    dedup groupBy); the keeper join is an aggregation-side self-join on
+    the same key (no extra shuffle of the full text — only doc_id rides
+    back); quality predicates are JVM expressions evaluated in the same
+    scan. No Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin("the", "a", "of", "and", "to", "in"))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+    )
+    keepers = (
+        scored.groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+        .withColumnRenamed("fp", "keeper_fp")
+    )
+    return (
+        scored.join(
+            keepers,
+            (scored.fp == keepers.keeper_fp)
+            & (scored.doc_id == keepers.keeper_doc_id),
+        )
+        .filter((F.col("n_tokens") >= 10) & (F.col("stop_hits") > 0))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_CLEAN = """
+WITH scored AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> lower(x) IN ('the','a','of','and','to','in'))) AS stop_hits
+  FROM documents
+), keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper_doc_id FROM scored GROUP BY fp
+)
+SELECT s.doc_id, s.lang, s.n_tokens
+FROM scored s JOIN keepers k
+  ON s.fp = k.fp AND s.doc_id = k.keeper_doc_id
+WHERE s.n_tokens >= 10 AND s.stop_hits > 0
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_quality_score, SQL_QUALITY),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "text_corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
 }
