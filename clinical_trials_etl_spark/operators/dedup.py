@@ -306,9 +306,78 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+EMB_COS_BOUND = 300  # vec_id bound for the exact all-pairs oracle leg
+# The synthetic embeddings are i.i.d. random (no planted near-dups in
+# testdata — those live in tests/test_similarity.py fixtures), so a
+# real-corpus threshold like 0.95 would make the cut vacuous here. 0.3
+# sits at the ~99th percentile of the pair-cosine distribution, so the
+# threshold branch is exercised on a few hundred rows.
+EMB_COS_THRESHOLD = 0.3
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup, exact all-pairs form — the verifier
+    semantics for the LSH-bucketed scale path
+    (operators/similarity.py::near_dup_pairs, which finds the same
+    pairs via banded 64-bit signatures without the O(n^2) join).
+    Bounded to vec_id < EMB_COS_BOUND like the n-gram Jaccard verifier
+    so the DuckDB oracle join stays cheap; cosines are rounded to 6
+    decimals on both engines so the threshold cut is bit-stable."""
+    from clinical_trials_etl_spark.operators.similarity import (
+        _vec_double,
+        cosine,
+    )
+
+    e = (
+        scan_parallel(
+            _t(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < EMB_COS_BOUND
+            )
+        )
+        .select("vec_id", _vec_double(F.col("embedding")).alias("vec"))
+    )
+    a = e.alias("a")
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    ).alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("vec_b"))
+    sim = F.round(cosine(F.col("a.vec"), F.col("vb")), 6)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+SQL_DEDUP_EMB_COS = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings WHERE vec_id < {EMB_COS_BOUND}
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(
+           list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                          i -> a.vec[i] * b.vec[i]), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                   i -> a.vec[i] * a.vec[i]), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                   i -> b.vec[i] * b.vec[i]), 'sum'))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs
+WHERE cos_sim >= {EMB_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
 }
