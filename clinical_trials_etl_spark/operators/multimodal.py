@@ -150,8 +150,72 @@ ORDER BY doc_id, frame_id
 """
 
 
+RESIZE_TARGET = 100  # target byte-width of the "resized" payload
+
+
+def q_mm_resize(spark, sf_dir):
+    """Resize plumbing over binary payloads via ``mapInPandas`` — the
+    image-resize slot of the multimodal suite. Real resize needs a codec
+    (PIL thumbnail); the deterministic stand-in decodes (stub), then
+    stride-samples the byte stream down to ~RESIZE_TARGET bytes — the
+    same Arrow batch shape, schema, and per-row cost profile a real
+    resampler has. Because the fake is a pure byte stride over ASCII
+    payloads, DuckDB can replay it exactly with string ops, giving this
+    mapInPandas pipeline a full value-level oracle (digest included)."""
+    ensure_package_on_executors(spark)
+    d = with_payload(scan_parallel(_t(spark, sf_dir, "documents")))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            orig, small_n, digests = [], [], []
+            for payload in pdf["payload"]:
+                raw = _decode_payload(bytes(payload))
+                stride = max(1, -(-len(raw) // RESIZE_TARGET))  # ceil div
+                small = raw[::stride]
+                orig.append(len(raw))
+                small_n.append(len(small))
+                digests.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pd.Series(orig, dtype="int64"),
+                    "resized_bytes": pd.Series(small_n, dtype="int64"),
+                    "resized_digest": digests,
+                }
+            )
+
+    schema = (
+        "doc_id long, orig_bytes long, resized_bytes long, "
+        "resized_digest string"
+    )
+    return d.mapInPandas(resize, schema=schema).orderBy("doc_id")
+
+
+SQL_MM_RESIZE = f"""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS n,
+         GREATEST(1, CAST(CEIL(length(text) / {RESIZE_TARGET}.0) AS INT))
+           AS stride
+  FROM documents
+), r AS (
+  SELECT doc_id, n,
+         array_to_string(
+           list_transform(
+             range(0, CAST(CEIL(n / CAST(stride AS DOUBLE)) AS INT)),
+             i -> substring(text, CAST(i * stride + 1 AS INT), 1)),
+           '') AS small
+  FROM s
+)
+SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+       CAST(length(small) AS BIGINT) AS resized_bytes,
+       md5(small) AS resized_digest
+FROM r ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_metadata": (q_mm_metadata, SQL_MM_METADATA),
+    "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
     "mm_feature_extract": (q_mm_feature_extract, None),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME),
 }

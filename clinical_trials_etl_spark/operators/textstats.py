@@ -212,10 +212,111 @@ ORDER BY s.doc_id
 """
 
 
+# --------------------------------------------------------- winnowing
+# Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+# SIGMOD'03 — the MOSS scheme): polynomial hash of every WINNOW_K-char
+# gram, then keep the minimum hash of each WINNOW_W-wide window. The
+# fingerprint set is position-independent enough to survive local edits,
+# which md5-style whole-document digests (text_fingerprint above) do not.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_MOD = 2147483647  # 2^31 - 1
+WINNOW_BASE = 257
+# 257^(K-1-j) mod M for j in 0..K-1: gram hash = sum(ascii(c_j)*POW[j]) % M.
+# Max partial sum = K * 255 * M ~ 4.4e12 << 2^63, so the sum-then-mod
+# form is overflow-safe in both engines' 64-bit ints — no fold needed.
+WINNOW_POW = [pow(WINNOW_BASE, WINNOW_K - 1 - j, WINNOW_MOD)
+              for j in range(WINNOW_K)]
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints per document (see module constants): the
+    fingerprint-set size, its minimum, and an md5 digest of the sorted
+    set for cheap equality joins. Everything is a JVM array expression
+    (sequence/transform/aggregate/slice) — one scan, no shuffle, no
+    Python; DuckDB replays the identical arithmetic for the oracle.
+    Documents shorter than WINNOW_K chars get the degenerate single-gram
+    hash (sum of code points mod M), defined identically on both sides."""
+    k, w, mod = WINNOW_K, WINNOW_W, WINNOW_MOD
+    pows = ", ".join(str(p) for p in WINNOW_POW)
+    d = _t(spark, sf_dir, "documents")
+    expr = f"""
+      CASE WHEN length(text) >= {k} THEN
+        transform(sequence(1, length(text) - {k} + 1),
+          i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),
+                 (acc, j) -> acc
+                             + CAST(ascii(substring(text, i + j, 1)) AS BIGINT)
+                             * element_at(array({pows}), j + 1)) % {mod})
+      ELSE
+        array(aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+                (acc, j) -> acc + ascii(substring(text, j, 1))) % {mod})
+      END
+    """
+    wins = f"""
+      CASE WHEN size(gram_hashes) >= {w} THEN
+        transform(sequence(1, size(gram_hashes) - {w} + 1),
+          j -> array_min(slice(gram_hashes, j, {w})))
+      ELSE array(array_min(gram_hashes)) END
+    """
+    fp = "array_sort(array_distinct(winnowed))"
+    return (
+        d.select("doc_id", F.expr(expr).alias("gram_hashes"))
+        .select("doc_id", F.expr(wins).alias("winnowed"))
+        .select("doc_id", F.expr(fp).alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").cast("long").alias("n_fp"),
+            F.element_at("fp", 1).alias("fp_min"),
+            F.md5(
+                F.array_join(
+                    F.transform("fp", lambda x: x.cast("string")), ","
+                ).cast("binary")
+            ).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_ROLLING_FP = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= {WINNOW_K} THEN
+      list_transform(range(1, length(text) - {WINNOW_K} + 2),
+        i -> list_aggregate(
+               list_transform(range(0, {WINNOW_K}),
+                 j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1))
+                      AS BIGINT)
+                      * ([{", ".join(str(p) for p in WINNOW_POW)}][j + 1])),
+               'sum') % {WINNOW_MOD})
+    ELSE
+      [list_aggregate(
+         list_transform(range(1, length(text) + 1),
+           j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT)),
+         'sum') % {WINNOW_MOD}]
+    END AS gram_hashes
+  FROM documents
+), wnd AS (
+  SELECT doc_id,
+    CASE WHEN len(gram_hashes) >= {WINNOW_W} THEN
+      list_transform(range(1, len(gram_hashes) - {WINNOW_W} + 2),
+        j -> list_aggregate(
+               gram_hashes[j:j + {WINNOW_W} - 1], 'min'))
+    ELSE [list_aggregate(gram_hashes, 'min')] END AS winnowed
+  FROM g
+), f AS (
+  SELECT doc_id, list_sort(list_distinct(winnowed)) AS fp FROM wnd
+)
+SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, fp[1] AS fp_min,
+       md5(array_to_string(fp, ',')) AS fp_digest
+FROM f ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_quality_score, SQL_QUALITY),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "text_rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FP),
     "text_corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
 }
