@@ -188,6 +188,29 @@ def extract_text_post_dedup(df: DataFrame) -> DataFrame:
     )
 
 
+def fill_text_post_winner(df: DataFrame) -> DataFrame:
+    """Fill ``text`` on the MERGE winner rows (single-shuffle COW path):
+    target winners arrive with text already extracted at their original
+    apply; batch winners carry the null placeholder and get the Arrow
+    kernel here — after the one winner shuffle, at shuffle parallelism,
+    and never on superseded duplicate deliveries. The kernel is
+    deterministic, so a (url, lsn) redelivery tie resolving to either
+    side yields byte-identical text."""
+    from clinical_trials_etl_spark.lake.table import SYS_DELETED
+
+    if "text" not in df.columns or "html" not in df.columns:
+        return df
+    return df.withColumn(
+        "text",
+        F.when(
+            ~F.col(SYS_DELETED) & F.col("text").isNull(),
+            extract_text_udf(F.col("html")),
+        )
+        .otherwise(F.col("text"))
+        .cast("string"),
+    )
+
+
 def apply_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -229,17 +252,37 @@ def apply_batch(
     ops = evolve_for_batch(table, batch, registry, max_ver=meta["_mx"])
     fields = table.fields()
     normalized = normalize_batch(batch, fields, registry)
-    deduped = extract_text_post_dedup(
-        dedup_max_lsn(normalized, table.key_field(), n_salt)
-    )
+    if merge_mode == "cow" and n_salt <= 1:
+        # Single-shuffle COW: the batch's max-LSN dedup folds into the
+        # merge's winner aggregation — max over (lsn, deleted) is
+        # associative, so winner(target U batch) == winner(target U
+        # dedup(batch)) and the batch never takes its own key shuffle.
+        # Superseded duplicates still collapse map-side (algebraic
+        # max_by partial aggregation); extraction moves post-winner
+        # (fill_text_post_winner) so it stays winners-only and
+        # shuffle-parallel. Measured: one fewer full-batch shuffle +
+        # stage barrier per micro-batch (BENCH/BASELINE.md).
+        source, fill = normalized, fill_text_post_winner
+    else:
+        # Salted regime (SPARK_GRAFT_SALT>1, wide-payload design scale)
+        # and delta commits keep the explicit two-phase dedup: salting
+        # needs its own phase-1 spread, and delta commits the batch rows
+        # as-is so they must be per-key deduped and extracted up front.
+        source, fill = (
+            extract_text_post_dedup(
+                dedup_max_lsn(normalized, table.key_field(), n_salt)
+            ),
+            None,
+        )
     stats = table.merge(
-        deduped,
+        source,
         lsn_col="lsn",
         op_col="op",
         batch_id=batch_id,
         lineage=lineage,
         touched_hint=touched,
         mode=merge_mode,
+        fill=fill,
     )
     stats["evolution_ops"] = ops
 
@@ -259,7 +302,12 @@ def apply_batch(
         ]
         stats["iceberg_sql"] = statements
         if os.environ.get("SPARK_GRAFT_ICEBERG_EXECUTE") == "1":
-            deduped.createOrReplaceTempView(view)
+            # the catalog MERGE needs the per-key deduped, extracted
+            # batch regardless of which local plan ran (lazy — no job
+            # unless these statements execute)
+            extract_text_post_dedup(
+                dedup_max_lsn(normalized, table.key_field(), n_salt)
+            ).createOrReplaceTempView(view)
             for stmt in statements:
                 table.spark.sql(stmt)
     return stats

@@ -58,6 +58,8 @@ import re
 import time
 import uuid
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -533,11 +535,21 @@ class LakeTable:
         lineage: dict | None = None,
         touched_hint: set[int] | None = None,
         mode: str = "cow",
+        fill: Callable[[DataFrame], DataFrame] | None = None,
     ) -> dict:
         """LSN-guarded keyed MERGE (I/U upsert, D tombstone) into the
         touched buckets. ``source`` must carry the table's data columns
-        plus ``lsn_col``/``op_col`` and be pre-deduped to one row per
-        key (cdc/apply.py does the salted max-LSN dedup).
+        plus ``lsn_col``/``op_col``. In ``"cow"`` mode the winner
+        aggregation itself dedups to one row per key, so the source may
+        carry duplicate deliveries; ``"delta"`` commits source rows
+        as-is, so the caller must pre-dedup (cdc/apply.py does the
+        salted max-LSN dedup there).
+
+        ``fill``: optional post-winner column transform (cow only),
+        applied after the winner aggregation and before the bucket
+        write — the seam cdc/apply.py uses to run the Arrow text
+        extraction exactly once per winning row without a separate
+        pre-merge shuffle.
 
         ``mode``:
         - ``"cow"`` (copy-on-write): read the touched buckets, reduce
@@ -608,6 +620,8 @@ class LakeTable:
             merged = self._winner_per_key(
                 target.unionByName(src), key
             )
+            if fill is not None:
+                merged = fill(merged)
         else:
             # delta: the (already per-key-deduped) batch rows ARE the
             # commit — no base read, no winner aggregation, no rewrite
