@@ -42,3 +42,42 @@ def test_parquet_filter_pushdown(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
     # column pruning reaches the scan
     assert "o_comment" not in plan
+
+
+def test_cow_apply_hands_merge_an_unshuffled_source(spark, tmp_path):
+    """Single-shuffle COW guardrail: apply_batch (cow, unsalted) must
+    NOT pre-shuffle the batch — max-LSN dedup folds into the merge's
+    winner aggregation, so the source handed to merge() carries no
+    Exchange and no Arrow kernel, and the extraction arrives as the
+    post-winner ``fill`` hook instead."""
+    from clinical_trials_etl_spark.cdc import apply as apply_mod
+    from clinical_trials_etl_spark.cdc.replay import create_pages_table
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        changelog_df,
+    )
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    batch = changelog_df(spark, LogSpec(n_events=50, n_hosts=5, seed=7))
+
+    seen = {}
+    real_merge = LakeTable.merge
+
+    def spy(self, source, **kw):
+        seen["plan"] = source._jdf.queryExecution().executedPlan().toString()
+        seen["fill"] = kw.get("fill")
+        return real_merge(self, source, **kw)
+
+    LakeTable.merge = spy
+    try:
+        apply_mod.apply_batch(table, batch, "plan-gate", n_salt=1,
+                              merge_mode="cow")
+    finally:
+        LakeTable.merge = real_merge
+
+    assert "Exchange" not in seen["plan"], "batch pre-shuffle is back"
+    assert "ArrowEvalPython" not in seen["plan"], (
+        "extraction must run post-winner, not on the raw batch"
+    )
+    assert seen["fill"] is apply_mod.fill_text_post_winner
