@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clinical_trials_etl_spark.operators import (
     analytics,
     dedup,
+    events_ops,
     htmlqueries,
     multimodal,
     relational2,
@@ -27,6 +28,7 @@ _REGISTRIES = [
     dedup.QUERIES,
     similarity.QUERIES,
     multimodal.QUERIES,
+    events_ops.QUERIES,
     analytics.QUERIES,
     relational2.QUERIES,
 ]
