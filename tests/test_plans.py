@@ -81,3 +81,21 @@ def test_cow_apply_hands_merge_an_unshuffled_source(spark, tmp_path):
         "extraction must run post-winner, not on the raw batch"
     )
     assert seen["fill"] is apply_mod.fill_text_post_winner
+
+
+def test_asof_join_is_windowed_not_nested_loop(spark, sf_dir):
+    from clinical_trials_etl_spark.operators import events_ops as E
+
+    plan = _plan(E.q_j5_asof_last_click(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "as-of must be the windowed carry-forward, not an inequality join"
+    )
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle by user + output sort
+
+
+def test_range_join_broadcasts_the_band_dimension(spark, sf_dir):
+    from clinical_trials_etl_spark.operators import events_ops as E
+
+    plan = _plan(E.q_j6_value_band_rollup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row dim: the wanted plan
