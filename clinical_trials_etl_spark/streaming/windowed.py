@@ -83,3 +83,65 @@ def run_windowed_counts(
     )
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def sessionized_host_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "warc_ts",
+) -> DataFrame:
+    """Per-host activity sessions via NATIVE session windows
+    (``F.session_window``): a session extends while events keep arriving
+    within ``gap`` and closes after that much quiet. Unlike the
+    fixed-size ``window()`` aggregation above, session-window state
+    merges adjacent windows as late events bridge them — the streaming
+    twin of the batch gap-sessionization operator
+    (operators/events_ops.py::q_w4_sessionize, which computes the same
+    concept with lag+cumsum on data at rest). Works on both streaming
+    and batch frames; state is O(open sessions), watermark-bounded."""
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("w"),
+            host.alias("host"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "cnt",
+        )
+    )
+
+
+def run_sessionized_counts(
+    spark: SparkSession,
+    log_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "session_counts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Stream the WAL dir through the session-window aggregation
+    (append mode: only sessions finalized by the watermark emit)."""
+    source = (
+        spark.readStream.schema(TRANSPORT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("basePath", log_dir)
+        .parquet(log_dir)
+    )
+    agg = sessionized_host_counts(source, gap, watermark)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)

@@ -63,3 +63,30 @@ def test_windowed_state_is_bounded(spark, log_dir):
     max_windows = span_s // 300 + 2
     n_windows = len({r["window_start"] for r in res})
     assert 0 < n_windows <= max_windows
+
+
+def test_streamed_session_windows_match_batch_oracle(spark, log_dir, tmp_path):
+    from clinical_trials_etl_spark.streaming.windowed import (
+        run_sessionized_counts,
+        sessionized_host_counts,
+    )
+
+    emitted = run_sessionized_counts(
+        spark, log_dir, str(tmp_path / "ckpt_sess"),
+        query_name="sess_test", gap="10 minutes", watermark="40 minutes",
+    ).collect()
+    assert len(emitted) > 0
+    keys = [(r["session_start"], r["host"]) for r in emitted]
+    assert len(keys) == len(set(keys)), "a finalized session emitted twice"
+
+    static = spark.read.option("basePath", log_dir).parquet(log_dir)
+    oracle = {
+        (r["session_start"], r["host"]): (r["session_end"], r["cnt"])
+        for r in sessionized_host_counts(
+            static, "10 minutes", "40 minutes"
+        ).collect()
+    }
+    for r in emitted:
+        k = (r["session_start"], r["host"])
+        assert k in oracle, k
+        assert (r["session_end"], r["cnt"]) == oracle[k], k
