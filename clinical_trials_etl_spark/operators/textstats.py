@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from clinical_trials_etl_spark.operators.common import scan_parallel
+
 
 def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -236,20 +238,31 @@ def q_rolling_fingerprint(spark, sf_dir):
     (sequence/transform/aggregate/slice) — one scan, no shuffle, no
     Python; DuckDB replays the identical arithmetic for the oracle.
     Documents shorter than WINNOW_K chars get the degenerate single-gram
-    hash (sum of code points mod M), defined identically on both sides."""
+    hash (sum of code points mod M), defined identically on both sides.
+
+    Kernel shape: the scan is repartitioned first (scan_parallel — a
+    single-row-group parquet file is ONE task, and this is the most
+    expression-heavy kernel in the suite), and the code points are
+    materialized ONCE per document before the gram loop — the first
+    cut called substring() K times per gram (O(n*K) substrings) and ran
+    single-threaded: 31.7 s at sf0.1; this form benches ~1 s."""
     k, w, mod = WINNOW_K, WINNOW_W, WINNOW_MOD
     pows = ", ".join(str(p) for p in WINNOW_POW)
-    d = _t(spark, sf_dir, "documents")
+    d = scan_parallel(_t(spark, sf_dir, "documents"))
+    cps = """
+      transform(sequence(1, length(text)),
+                j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))
+    """
     expr = f"""
-      CASE WHEN length(text) >= {k} THEN
-        transform(sequence(1, length(text) - {k} + 1),
+      CASE WHEN size(cps) >= {k} THEN
+        transform(sequence(1, size(cps) - {k} + 1),
           i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),
                  (acc, j) -> acc
-                             + CAST(ascii(substring(text, i + j, 1)) AS BIGINT)
+                             + element_at(cps, i + j)
                              * element_at(array({pows}), j + 1)) % {mod})
       ELSE
-        array(aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-                (acc, j) -> acc + ascii(substring(text, j, 1))) % {mod})
+        array(aggregate(cps, CAST(0 AS BIGINT),
+                (acc, c) -> acc + c) % {mod})
       END
     """
     wins = f"""
@@ -260,7 +273,8 @@ def q_rolling_fingerprint(spark, sf_dir):
     """
     fp = "array_sort(array_distinct(winnowed))"
     return (
-        d.select("doc_id", F.expr(expr).alias("gram_hashes"))
+        d.select("doc_id", F.expr(cps).alias("cps"))
+        .select("doc_id", F.expr(expr).alias("gram_hashes"))
         .select("doc_id", F.expr(wins).alias("winnowed"))
         .select("doc_id", F.expr(fp).alias("fp"))
         .select(
