@@ -16,6 +16,7 @@ from clinical_trials_etl_spark.operators import (
     dedup,
     events_ops,
     htmlqueries,
+    olap,
     multimodal,
     relational2,
     similarity,
@@ -29,6 +30,7 @@ _REGISTRIES = [
     similarity.QUERIES,
     multimodal.QUERIES,
     events_ops.QUERIES,
+    olap.QUERIES,
     analytics.QUERIES,
     relational2.QUERIES,
 ]
