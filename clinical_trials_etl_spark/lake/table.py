@@ -475,6 +475,75 @@ class LakeTable:
         self._write_snapshot(snap2)
         return {"compacted_buckets": len(fat), "version": version}
 
+    def rebucket(self, n_buckets: int) -> dict:
+        """Partition evolution (Iceberg
+        ``REPLACE PARTITION FIELD bucket(old, key) WITH bucket(new, key)``
+        analog): rewrite the table under a new bucket count and commit
+        it as one snapshot. Needed at design scale — a bucket count
+        sized for the first 10^8 rows concentrates too many rows per
+        bucket at 10^10, and COW merge / pruning granularity is per
+        bucket. ``n_buckets`` lives in the snapshot, so earlier
+        snapshots keep reading their own layout (time travel intact)
+        and every post-rebucket merge hashes with the new count.
+        Tombstones survive the rewrite (same winner-rule reconciled
+        read as compaction)."""
+        snap = self.snapshot()
+        if n_buckets == snap["n_buckets"]:
+            return {"rebucketed": False, "version": snap["version"]}
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        fields = self.fields(snap)
+        key = self.key_field(snap)
+        new_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast(
+            "int"
+        )
+        df = self._read_reconciled(snap, None).withColumn(
+            SYS_BUCKET, new_expr
+        )
+        out_dir = os.path.join(self.data_dir, f"rebucket-{uuid.uuid4().hex}")
+        phys = {f"f_{f['id']}": f["type"] for f in fields}
+        (
+            df.select(
+                *[F.col(f["name"]).alias(f"f_{f['id']}") for f in fields],
+                F.col(SYS_LSN),
+                F.col(SYS_DELETED),
+                F.col(SYS_BUCKET),
+            )
+            .repartition(n_buckets, F.col(SYS_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(SYS_BUCKET)
+            .parquet(out_dir)
+        )
+        new_files = self._collect_written_files(out_dir, phys)[0]
+
+        version = snap["version"] + 1
+        by_bucket: dict[str, list[dict]] = {}
+        for fmeta in new_files:
+            by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
+        manifest_path = self._manifest_path(version)
+        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": by_bucket}, f, indent=1)
+        os.replace(tmp, manifest_path)
+        snap2 = dict(snap)
+        snap2["version"] = version
+        snap2["parent"] = snap["version"]
+        snap2["n_buckets"] = n_buckets
+        # the old layout's manifests are fully superseded
+        snap2["manifests"] = {b: [manifest_path] for b in by_bucket}
+        snap2["committed_at"] = time.time()
+        self._append_lineage(
+            version,
+            {
+                "type": "rebucket",
+                "from": snap["n_buckets"],
+                "to": n_buckets,
+            },
+        )
+        self._write_snapshot(snap2)
+        return {"rebucketed": True, "version": version,
+                "n_buckets": n_buckets}
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Delete data files no snapshot in the retained window
         references (Iceberg expire_snapshots analog). Keeps the last
