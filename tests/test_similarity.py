@@ -76,10 +76,18 @@ def test_near_dup_perfect_recall_and_no_false_positives(planted):
 
 
 def test_near_dup_on_testdata_equals_brute_force(spark, sf_dir):
-    """On the driver's embeddings table the cos>=0.95 truth set happens
-    to be empty — the banded path must agree (no false positives)."""
-    got = S.q_sim_near_dup_pairs(spark, sf_dir).collect()
-    assert got == []
+    """The query entry plants N_PLANTED exact duplicates over the
+    otherwise near-dup-free random table (max pair cosine ~0.47): the
+    banded path must return exactly the planted pairs — full recall on
+    the plants AND zero false positives among the 500 random vectors."""
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in S.q_sim_near_dup_pairs(spark, sf_dir).collect()
+    )
+    want = [
+        (i, i + S.PLANT_ID_BASE, 1.0) for i in range(S.N_PLANTED)
+    ]
+    assert got == want
 
 
 def test_ann_finds_planted_neighbors(planted, spark):
