@@ -119,3 +119,17 @@ def merge_statement(
         f"WHEN NOT MATCHED THEN INSERT ({ins_cols})\n"
         f"VALUES ({ins_vals})"
     )
+
+
+def replace_partition_statement(
+    table_name: str, key: str, old_n: int, new_n: int
+) -> str:
+    """Partition evolution DDL matching :meth:`LakeTable.rebucket`:
+    swap the bucket transform's width on the key. Iceberg applies this
+    lazily (new data only) — the stand-in rewrites eagerly so pruning
+    math holds for the whole table; pair this statement with a
+    ``rewrite_data_files`` call on a real catalog for the same effect."""
+    return (
+        f"ALTER TABLE {table_name} REPLACE PARTITION FIELD "
+        f"bucket({old_n}, {key}) WITH bucket({new_n}, {key})"
+    )

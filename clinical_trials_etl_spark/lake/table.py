@@ -541,8 +541,18 @@ class LakeTable:
             },
         )
         self._write_snapshot(snap2)
-        return {"rebucketed": True, "version": version,
-                "n_buckets": n_buckets}
+        out = {"rebucketed": True, "version": version,
+               "n_buckets": n_buckets}
+        iceberg_table = os.environ.get("SPARK_GRAFT_ICEBERG_TABLE")
+        if iceberg_table:
+            from clinical_trials_etl_spark.lake import iceberg_sql
+
+            out["iceberg_sql"] = [
+                iceberg_sql.replace_partition_statement(
+                    iceberg_table, key, snap["n_buckets"], n_buckets
+                )
+            ]
+        return out
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Delete data files no snapshot in the retained window

@@ -98,3 +98,14 @@ def test_apply_batch_no_sql_without_flag(spark, tmp_path):
     )
     stats = apply_batch(table, batch, "noice-1")
     assert "iceberg_sql" not in stats
+
+
+def test_replace_partition_golden():
+    from clinical_trials_etl_spark.lake.iceberg_sql import (
+        replace_partition_statement,
+    )
+
+    assert replace_partition_statement("lake.pages", "url", 16, 64) == (
+        "ALTER TABLE lake.pages REPLACE PARTITION FIELD "
+        "bucket(16, url) WITH bucket(64, url)"
+    )
