@@ -122,12 +122,31 @@ def is_date_valid(col: Column) -> Column:
 
 
 def normalize_age_range(col: Column) -> Column:
-    """'65+' -> {min:65,max:null}; '18-64' -> {min:18,max:64} (F10)."""
-    first = F.nullif(F.regexp_extract(col, r"(\d+)", 1), F.lit("")).try_cast("int")
+    """'65+' -> {min:65,max:null}; '18-64' -> {min:18,max:64} (F10).
+
+    Exact reference branching (normalizer.py:87-115, findall-based):
+    a '+' anywhere with at least one number sets ONLY min (even if a
+    '-' is also present); else a '-' anywhere with at least TWO numbers
+    sets min and max from the first two digit runs (the dash need not
+    sit between them); anything else — including a bare number like
+    '18 years' — is {null, null}. Golden-tested against an independent
+    Python model in tests/test_normalize_reference.py."""
+    first = F.nullif(F.regexp_extract(col, r"(\d+)", 1), F.lit("")).try_cast(
+        "int"
+    )
+    # second maximal digit run anywhere after the first (findall order)
     second = F.nullif(
-        F.regexp_extract(col, r"\d+\s*-\s*(\d+)", 1), F.lit("")
+        F.regexp_extract(col, r"\d+\D+(\d+)", 1), F.lit("")
     ).try_cast("int")
-    return F.struct(first.alias("min"), second.alias("max"))
+    has_plus = col.contains("+")
+    has_dash = col.contains("-")
+    min_age = F.when(has_plus & first.isNotNull(), first).when(
+        ~has_plus & has_dash & second.isNotNull(), first
+    )
+    max_age = F.when(
+        ~has_plus & has_dash & second.isNotNull(), second
+    )
+    return F.struct(min_age.alias("min"), max_age.alias("max"))
 
 
 # Reference map is 38 entries (normalizer.py:117-176); representative subset

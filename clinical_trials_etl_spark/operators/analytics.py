@@ -307,7 +307,13 @@ def q_w1_rolling_mean_daily(spark, sf_dir):
     st_trial_analytics.py:1200. Reference semantics exactly: pandas
     ``rolling(3, center=True).mean()`` defaults min_periods to the
     window size, so the first and last rows (incomplete windows) are
-    NaN -> NULL here, not 2-element means."""
+    NaN -> NULL here, not 2-element means.
+
+    The unpartitioned window (WindowExec warns) is deliberate: it runs
+    over the POST-AGGREGATE daily series — one row per day, bounded by
+    the calendar, not the event count — so the single-partition sort is
+    a few thousand rows at any data scale. The 10^10 rows were already
+    reduced by the shuffling groupBy above."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count("*").alias("cnt")
