@@ -82,7 +82,21 @@ _DATE_FORMATS = ["yyyy-MM-dd", "dd/MM/yyyy", "dd-MM-yyyy", "dd.MM.yyyy"]
 def normalize_date(col: Column) -> Column:
     """Strip junk chars then try the reference's explicit format list
     (dayfirst semantics are encoded by the dd-first formats), output a
-    DateType or null (F5)."""
+    DateType or null (F5).
+
+    Model choice vs the reference (date_utils.py:13-48): the reference
+    tries ``dateutil.parser.parse(dayfirst=True)`` BEFORE its explicit
+    format list, and returns the ORIGINAL STRING on total failure (its
+    ``extract_year``/``is_date_valid`` then test for that passthrough
+    marker). dateutil's open-ended grammar is not expressible as JVM
+    expressions; this engine models parse success as the reference's
+    own configured format list and failure as a typed NULL.
+    ``is_date_valid`` and ``extract_year`` below are aligned to the
+    same model (NULL == the reference's passthrough marker), so the
+    three functions stay mutually consistent — the deliberate,
+    documented deviation is only that free-form dateutil-only inputs
+    ("Jan 3rd 2020") normalize via the regex-year fallback rather than
+    a full parse."""
     cleaned = F.regexp_replace(col, r"[^0-9/.\-]", "")
     return F.coalesce(*[F.try_to_date(cleaned, fmt) for fmt in _DATE_FORMATS])
 
