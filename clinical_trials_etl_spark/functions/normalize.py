@@ -238,9 +238,22 @@ def normalize_phase(col: Column) -> Column:
 
 
 def normalize_list(col: Column, sep: str = ",") -> Column:
-    """Split, trim items, drop empties (F13)."""
+    r"""Split, trim items, drop empties (F13). Fidelity details: the
+    separator is a LITERAL (regex-escaped — the reference uses
+    ``str.split``), and item trimming is Python ``str.strip()``
+    semantics (ALL whitespace incl. tabs/unicode via ``(?U)\s``), not
+    SQL ``trim`` which strips spaces only — so a tab-padded item trims
+    clean and a whitespace-only item is dropped, exactly as the
+    reference does. (The DuckDB oracle twin uses ASCII ``\s``; equal
+    on any ASCII corpus.)"""
+    import re as _re
+
     return F.filter(
-        F.transform(F.split(col, sep), lambda x: F.trim(x)), lambda x: x != ""
+        F.transform(
+            F.split(col, _re.escape(sep)),
+            lambda x: F.regexp_replace(x, r"(?U)^\s+|\s+$", ""),
+        ),
+        lambda x: x != "",
     )
 
 

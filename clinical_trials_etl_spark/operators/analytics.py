@@ -874,12 +874,13 @@ def q_f13_list_preview(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-SQL_F13 = """
+SQL_F13 = r"""
 SELECT doc_id,
        array_to_string(list_filter(list_transform(string_split(text, ' '),
-                                                  x -> trim(x)),
+                                                  x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
                                    x -> x <> '')[1:3], ', ') AS preview3,
-       CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
+       CAST(len(list_filter(list_transform(string_split(text, ' '),
+                                           x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
                             x -> x <> '')) AS BIGINT) AS n_items
 FROM documents ORDER BY doc_id
 """
