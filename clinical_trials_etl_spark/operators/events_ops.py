@@ -191,8 +191,42 @@ GROUP BY band, lo ORDER BY lo
 """
 
 
+def q_w5_user_value_delta(spark, sf_dir):
+    """lag/lead window pair: per-user event-over-event value delta and
+    the following event's type, in the total (ts, event_id) order. One
+    shuffle keyed by user; deltas round-trip through DECIMAL so both
+    engines produce bit-identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_val = F.lag("value").over(w)
+    delta = (
+        F.col("value").cast("decimal(18,2)")
+        - prev_val.cast("decimal(18,2)")
+    ).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        delta.alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("event_id")
+
+
+SQL_VALUE_DELTA = """
+SELECT event_id, user_id, value,
+       CAST(CAST(value AS DECIMAL(18,2))
+            - CAST(LAG(value) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+         AS value_delta,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "w4_sessionize": (q_w4_sessionize, SQL_SESSIONIZE),
     "j5_asof_last_click": (q_j5_asof_last_click, SQL_ASOF),
     "j6_value_band_rollup": (q_j6_value_band_rollup, SQL_RANGE_JOIN),
+    "w5_user_value_delta": (q_w5_user_value_delta, SQL_VALUE_DELTA),
 }
