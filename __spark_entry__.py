@@ -36,16 +36,58 @@ _REGISTRIES = [
 ]
 
 
+# Round-3 re-certification front (driver records the first 50 merged
+# entries in insertion order; see VERDICT.md round-2 items 1-2):
+#  - the two queries whose oracle SQL was fixed this round (HUGEINT →
+#    BIGINT cast: w4_sessionize, text_rolling_fingerprint);
+#  - the two whose semantics changed after their only driver rows
+#    (f13 str.strip trimming, commit 716da44; f10 exact findall
+#    branching, commit 7abe37e);
+#  - the new a17b approx-percentile twin (first driver row);
+#  - then every entry that fell OUTSIDE round 2's 50-entry window
+#    (analytics tail + relational2), whose hard signal is round-1-only,
+#    so the driver re-verifies that tail this round. The r2-green
+#    suites fill the remaining slots in registry order; everything is
+#    additionally covered every run by tests/test_oracle_parity.py at
+#    sf0.001 and sf0.01.
+_RECERT_FRONT = [
+    "w4_sessionize",
+    "text_rolling_fingerprint",
+    "f10_age_range",
+    "f13_list_preview",
+    "a17b_value_percentiles_approx",
+    # outside round 2's driver window (r1 signal only):
+    "j3b_active_customers",
+    "set_union_except",
+    "f2_clean_text",
+    "f3_normalize_string",
+    "f4_normalize_number",
+    "f5_normalize_date",
+    "f8_duration",
+    "f11_normalize_country",
+    "f12_normalize_phase",
+    "w2b_top_order_per_segment",
+    "p4_match_notnull",
+    "p8_project_rename",
+    "p9_equality_filter",
+    "p10_complete_info",
+    "p12_prefix_autocomplete",
+    "s14_point_lookup",
+    "j2_explode_parent_key",
+    "a14_batch_tally",
+    "f6_normalize_boolean",
+    "f7_extract_year",
+    "f9_is_date_valid",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+]
+
+
 def _merged() -> dict[str, tuple]:
-    """Merged registry. Order matters: the round-1 driver recorded oracle
-    rows for exactly the first 50 entries in insertion order, so the
-    suites that lacked driver-visible rows in round 1 (HTML kernels,
-    text-analysis, dedup, similarity, multimodal) are registered first —
-    SQL-oracled entries ahead of rows-only ones within each suite. The
-    relational tail that may now fall outside a 50-entry window stays
-    fully covered by tests/test_oracle_parity.py (every oracled query,
-    sf0.001 and sf0.01)."""
-    out: dict[str, tuple] = {}
+    """Merged registry. Order matters: the driver records oracle rows
+    for exactly the first 50 entries in insertion order, so the
+    re-certification list above goes first (SQL-oracled entries always
+    ahead of rows-only ones); the rest follow in registry order."""
     oracled: dict[str, tuple] = {}
     rows_only: dict[str, tuple] = {}
     for reg in _REGISTRIES:
@@ -54,6 +96,10 @@ def _merged() -> dict[str, tuple]:
             raise ValueError(f"duplicate query names: {overlap}")
         for name, (fn, sql) in reg.items():
             (oracled if sql is not None else rows_only)[name] = (fn, sql)
+    missing = [n for n in _RECERT_FRONT if n not in oracled]
+    if missing:
+        raise ValueError(f"recert-front names not oracled: {missing}")
+    out: dict[str, tuple] = {n: oracled[n] for n in _RECERT_FRONT}
     out.update(oracled)
     out.update(rows_only)
     return out

@@ -56,7 +56,8 @@ def main() -> None:
                             paths_per_host=100, seed=42, html_pad_blocks=40)
         upd_spec = LogSpec(n_events=update_events, n_hosts=2000,
                            paths_per_host=100, seed=43, p_insert=0.05,
-                           p_update=0.9, html_pad_blocks=40)
+                           p_update=0.9, html_pad_blocks=40,
+                           lsn_offset=base_events)  # updates post-date base
         base_log = os.path.join(work, "base_log")
         upd_log = os.path.join(work, "upd_log")
         write_changelog_segments(spark, base_spec, base_log, n_segments=1,
@@ -69,13 +70,16 @@ def main() -> None:
         for mode in ("cow", "delta"):
             root = os.path.join(work, f"table_{mode}")
             os.environ["SPARK_GRAFT_MERGE_MODE"] = "cow"
+            # distinct batch-id namespaces per phase: both phases start
+            # at segment index 0, so a shared prefix would make
+            # is_applied() skip the update phase's first batch
             table = replay(spark, base_log, root, segments_per_batch=1,
-                           n_buckets=N_BUCKETS)
+                           n_buckets=N_BUCKETS, batch_prefix="base")
             bytes_before = _dir_bytes(root)
             os.environ["SPARK_GRAFT_MERGE_MODE"] = mode
             t0 = time.perf_counter()
             table = replay(spark, upd_log, root, segments_per_batch=1,
-                           n_buckets=N_BUCKETS)
+                           n_buckets=N_BUCKETS, batch_prefix="update")
             if mode == "delta":
                 table.compact()
             wall = time.perf_counter() - t0

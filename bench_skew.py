@@ -16,8 +16,10 @@ per map partition, so at sandbox payload sizes (~300 B html) the
 single-phase plan wins — the salt's second shuffle is pure overhead.
 What partial aggregation does not bound is reducer fan-in
 (#map_partitions x payload for the hot key), which is why the salted
-plan is the design-scale default: at ~100 KB html and 10^4 map tasks
-the unsalted hot-key reducer would absorb ~1 GB; n_salt=16 divides it.
+plan is the recommended setting at design scale (the shipped default
+stays n_salt=1; opt in via SPARK_GRAFT_SALT): at ~100 KB html and 10^4
+map tasks the unsalted hot-key reducer would absorb ~1 GB; n_salt=16
+divides it.
 
 Usage: python bench_skew.py [n_events]   (default 1_000_000)
 """

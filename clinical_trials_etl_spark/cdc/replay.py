@@ -48,9 +48,19 @@ def replay(
     registry: dict | None = None,
     start_segment: int = 0,
     n_salt: int | None = None,
+    batch_prefix: str = "replay",
 ) -> LakeTable:
     """Replay the log into a fresh (or existing, when resuming) table;
-    one micro-batch per ``segments_per_batch`` segments."""
+    one micro-batch per ``segments_per_batch`` segments.
+
+    ``batch_prefix`` namespaces the idempotence ids (``{prefix}-{i}``,
+    i = absolute segment index). Distinct replay passes against the
+    SAME table (e.g. a base load then an update phase) MUST use
+    distinct prefixes, or the second pass's ids collide with the
+    first's and ``is_applied`` silently skips its batches. Within one
+    logical pass, resuming must keep both the prefix and
+    ``segments_per_batch``: the id is keyed to the segment index, so a
+    chunking change across a resume would alias ids."""
     if os.path.exists(os.path.join(table_root, "_meta", "_current")):
         table = LakeTable(spark, table_root)
     else:
@@ -65,7 +75,7 @@ def replay(
         apply_batch(
             table,
             batch,
-            batch_id=f"replay-{i}",
+            batch_id=f"{batch_prefix}-{i}",
             registry=registry or PAGES_REGISTRY,
             lineage={"segments": [os.path.basename(s) for s in chunk]},
             **kwargs,

@@ -94,6 +94,9 @@ def run_stream(
     n_salt: int | None = None,
     merge_mode: str | None = None,
     compact_every: int | None = None,
+    rebucket_after: tuple[int, int] | None = None,
+    expire_every: int | None = None,
+    expire_keep: int = 2,
 ):
     """Process everything currently in ``log_dir`` through streaming
     micro-batches and stop (processAllAvailable). Safe to call again
@@ -105,7 +108,22 @@ def run_stream(
     applied epochs the table folds layers back into base files
     (LakeTable.compact). Compaction is itself an idempotent snapshot
     commit, so a crash between apply and compact just defers the fold
-    to the next boundary."""
+    to the next boundary.
+
+    Maintenance ops wired into the same applied-epoch cadence
+    (crash-safe for the same reason — each is an independent snapshot
+    commit, and a crash before it just defers it):
+
+    - ``rebucket_after=(n, new_buckets)``: after the n-th applied epoch
+      of THIS run, evolve the partitioning to ``new_buckets`` buckets
+      (LakeTable.rebucket). Applied at most once per run, and skipped
+      when the table already has that bucket count — so a killed and
+      resumed run does not re-rewrite.
+    - ``expire_every=K`` (+ ``expire_keep``): every K applied epochs,
+      drop data files only snapshots older than the retained window
+      reference (LakeTable.expire_snapshots) — the streaming analog of
+      a scheduled retention job; without it a long-running delta stream
+      accretes every superseded layer forever."""
     listener = MetricsListener()
     spark.streams.addListener(listener)
 
@@ -133,6 +151,14 @@ def run_stream(
             applied["n"] += 1
             if compact_every and applied["n"] % compact_every == 0:
                 table.compact()
+            if (
+                rebucket_after
+                and applied["n"] == rebucket_after[0]
+                and table.snapshot()["n_buckets"] != rebucket_after[1]
+            ):
+                table.rebucket(rebucket_after[1])
+            if expire_every and applied["n"] % expire_every == 0:
+                table.expire_snapshots(keep_last=expire_keep)
 
     query = (
         source.writeStream.foreachBatch(handle)

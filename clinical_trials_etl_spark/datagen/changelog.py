@@ -74,6 +74,11 @@ class LogSpec:
     # markup; default pages are ~300 B, which under-weights the
     # extraction kernel in benchmarks. 80 blocks ~ 2 KB of body HTML.
     html_pad_blocks: int = 0
+    # first LSN of this log. A log meant to be applied AFTER another
+    # one (e.g. bench_mor's update drip over its base load) must start
+    # past the earlier log's LSN space, or the per-key max-LSN guard
+    # rejects its events as stale.
+    lsn_offset: int = 0
 
 
 def _html_and_text(spec: LogSpec, lsn: Column, url: Column):
@@ -146,7 +151,9 @@ def _html_and_text(spec: LogSpec, lsn: Column, url: Column):
 def changelog_df(spark: SparkSession, spec: LogSpec) -> DataFrame:
     """The full change log as a DataFrame (lsn-ordered rows, including
     duplicate deliveries appended with identical payloads)."""
-    base = spark.range(spec.n_events).withColumnRenamed("id", "lsn")
+    base = spark.range(
+        spec.lsn_offset, spec.lsn_offset + spec.n_events
+    ).withColumnRenamed("id", "lsn")
     lsn = F.col("lsn")
 
     host = F.floor(spec.n_hosts * F.pow(_u(spec.seed, 1, lsn), spec.skew_exp))
@@ -226,7 +233,9 @@ def write_changelog_segments(
     watermarked consumers rely on (lateness would become O(log span)
     instead of O(segment span + max_lag))."""
     df = changelog_df(spark, spec)
-    seg = (F.col("lsn") * n_segments / spec.n_events).cast("int")
+    seg = (
+        (F.col("lsn") - spec.lsn_offset) * n_segments / spec.n_events
+    ).cast("int")
     (
         df.withColumn("segment", F.least(F.lit(n_segments - 1), seg))
         .repartition(

@@ -100,7 +100,15 @@ def merge_statement(
 ) -> str:
     """The LSN-guarded MERGE with tombstone semantics (LakeTable.merge
     parity): the source is the post-dedup batch (one row per key) with
-    columns = table data columns + lsn + op."""
+    columns = table data columns + lsn + op.
+
+    Tie rule: LakeTable.merge's winner is ``max_by(payload,
+    struct(lsn, deleted))``, so at EQUAL lsn a tombstone outranks a
+    live row (a delete redelivered with the same lsn as the live write
+    still deletes). The delete branch therefore fires on
+    ``lsn = _lsn AND NOT _deleted`` too, not only on a strictly newer
+    lsn — with a strict guard the rendered MERGE would diverge from
+    the stand-in on lsn ties."""
     names = [f["name"] for f in fields]
     set_cols = ",\n    ".join(f"t.{n} = s.{n}" for n in names)
     ins_cols = ", ".join(names + ["_lsn", "_deleted"])
@@ -109,7 +117,8 @@ def merge_statement(
         f"MERGE INTO {table_name} t\n"
         f"USING {source_view} s\n"
         f"ON t.{key} = s.{key}\n"
-        f"WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN UPDATE SET\n"
+        f"WHEN MATCHED AND (s.lsn > t._lsn OR (s.lsn = t._lsn "
+        f"AND NOT t._deleted)) AND s.op = 'D' THEN UPDATE SET\n"
         f"    t._deleted = true,\n"
         f"    t._lsn = s.lsn\n"
         f"WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET\n"

@@ -659,6 +659,18 @@ class LakeTable:
         no-op (exactly-once under foreachBatch retry)."""
         if mode not in ("cow", "delta"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if mode == "delta" and batch_id is not None and not self._BATCH_ID_RE.match(batch_id):
+            # Non-numeric ids are deduped only via the bounded recent
+            # set, degrading to at-least-once after _RECENT_CAP
+            # commits. COW tolerates that (a redelivered batch is a
+            # semantic no-op under the max-LSN winner rule), but delta
+            # mode appends the redelivered rows as duplicate layers —
+            # wasted bytes and double-counted lineage — so it requires
+            # ids the durable per-prefix high-water mark can track.
+            raise ValueError(
+                f"delta mode requires a numeric-suffixed batch_id for "
+                f"durable exactly-once tracking, got {batch_id!r}"
+            )
         snap = self.snapshot()
         if batch_id is not None and self.is_applied(batch_id, snap):
             return {"skipped": True, "version": snap["version"]}

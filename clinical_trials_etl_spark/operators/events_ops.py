@@ -82,8 +82,9 @@ WITH e AS (
          THEN 1 ELSE 0 END AS new_sess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), numbered AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_num
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_num
   FROM marked
 )
 SELECT user_id, session_num, COUNT(*) AS n_events,

@@ -10,10 +10,16 @@ Scale notes:
 - Rollup: one shuffle; Spark expands grouping sets map-side (partial
   aggregation applies per set), no extra pass per level.
 - Percentile: ``F.percentile`` (exact, interpolated) matches DuckDB's
-  ``quantile_cont`` definition for the oracle. Exact percentile sorts
-  within groups — fine for bounded per-group cardinality; at design
-  scale swap ``approx_percentile`` (t-digest, mergeable sketch) and
-  accept rank error instead of a sort.
+  ``quantile_cont`` definition for the oracle. Exact percentile buffers
+  each group's values — fine for bounded per-group cardinality; at
+  design scale (10^10 rows per event type) that is an executor-memory
+  wall, so ``a17b`` is the scale-safe default: ``approx_percentile``
+  (Greenwald-Khanna mergeable sketch, rank error ≤ n/accuracy,
+  O((accuracy) log n) state per group regardless of n). With group
+  sizes ≤ accuracy the sketch is provably exact and returns the same
+  discrete quantile as DuckDB's ``quantile_disc``, which is what the
+  oracle pins; production keeps the same accuracy and accepts ≤0.01%
+  rank error instead of a per-group sort.
 """
 
 from __future__ import annotations
@@ -98,6 +104,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+A17B_ACCURACY = 10_000
+
+
+def q_a17b_value_percentiles_approx(spark, sf_dir):
+    """Scale-safe percentile twin of a17: ``approx_percentile`` with a
+    mergeable Greenwald-Khanna sketch instead of a per-group value
+    buffer. Rank error ≤ n/accuracy; with accuracy=10,000 and the test
+    tables' group sizes (≤ ~4k/event type at sf0.01) the result is
+    provably EXACT — the discrete quantile, i.e. DuckDB's
+    ``quantile_disc`` — so the oracle comparison is hash-strict. At
+    10^10 rows/group the same plan holds O(accuracy·log n) state and
+    returns values within 0.01% rank error, where exact ``percentile``
+    (a17) would OOM the executors."""
+    e = _t(spark, sf_dir, "events")
+    acc = F.lit(A17B_ACCURACY)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), acc).alias("ap50"),
+            F.approx_percentile("value", F.lit(0.9), acc).alias("ap90"),
+            F.approx_percentile("value", F.lit(0.99), acc).alias("ap99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PERCENTILES_APPROX = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS ap50,
+       quantile_disc(value, 0.9) AS ap90,
+       quantile_disc(value, 0.99) AS ap99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "a15_pivot_user_event_matrix": (
         q_a15_pivot_user_event_matrix,
@@ -108,4 +149,8 @@ QUERIES = {
         SQL_ROLLUP,
     ),
     "a17_value_percentiles": (q_a17_value_percentiles, SQL_PERCENTILES),
+    "a17b_value_percentiles_approx": (
+        q_a17b_value_percentiles_approx,
+        SQL_PERCENTILES_APPROX,
+    ),
 }

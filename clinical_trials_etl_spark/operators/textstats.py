@@ -320,7 +320,8 @@ WITH g AS (
 ), f AS (
   SELECT doc_id, list_sort(list_distinct(winnowed)) AS fp FROM wnd
 )
-SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, fp[1] AS fp_min,
+SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+       CAST(fp[1] AS BIGINT) AS fp_min,
        md5(array_to_string(fp, ',')) AS fp_digest
 FROM f ORDER BY doc_id
 """

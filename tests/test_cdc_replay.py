@@ -97,6 +97,37 @@ def test_partial_then_resume(spark, log_dir, expected, tmp_path):
     _assert_state_equal(_final_state(table), expected)
 
 
+def test_two_phase_replay_needs_distinct_prefixes(spark, log_dir, tmp_path):
+    """Two replay passes over DIFFERENT logs into the same table (a
+    base load then an update drip, as in bench_mor.py) both start at
+    segment index 0, so a shared batch-id prefix would make
+    ``is_applied`` skip the second pass's first batch. Distinct
+    prefixes must apply every batch of both passes."""
+    root = str(tmp_path / "tbl5")
+    table = replay(spark, log_dir, root, segments_per_batch=1,
+                   batch_prefix="base")
+    v_after_base = table.current_version()
+    upd_dir = str(tmp_path / "wal_upd")
+    write_changelog_segments(
+        spark,
+        LogSpec(n_events=400, n_hosts=12, paths_per_host=40, seed=7,
+                p_insert=0.1, p_update=0.9, lsn_offset=SPEC.n_events),
+        upd_dir,
+        n_segments=2,
+    )
+    table = replay(spark, upd_dir, root, segments_per_batch=1,
+                   batch_prefix="update")
+    # both update batches committed (nothing silently skipped)
+    assert table.current_version() == v_after_base + 2
+    # and the combined state equals the fold over both logs
+    rows = [
+        r.asDict()
+        for d in (log_dir, upd_dir)
+        for r in spark.read.option("basePath", d).parquet(d).collect()
+    ]
+    _assert_state_equal(_final_state(table), fold_changelog(rows))
+
+
 def test_redelivered_data_under_new_batch_id_is_semantic_noop(
     spark, log_dir, expected, tmp_path
 ):

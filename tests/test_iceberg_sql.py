@@ -52,7 +52,8 @@ def test_merge_statement_golden():
         "MERGE INTO lake.pages t\n"
         "USING batch_v s\n"
         "ON t.url = s.url\n"
-        "WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN UPDATE SET\n"
+        "WHEN MATCHED AND (s.lsn > t._lsn OR (s.lsn = t._lsn "
+        "AND NOT t._deleted)) AND s.op = 'D' THEN UPDATE SET\n"
         "    t._deleted = true,\n"
         "    t._lsn = s.lsn\n"
         "WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET\n"

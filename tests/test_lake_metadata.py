@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from clinical_trials_etl_spark.cdc.apply import apply_batch
@@ -124,6 +125,21 @@ def test_delta_commits_do_not_rewrite_base(spark, tmp_path):
                 merge_mode="delta")
     row = table.read().filter(F.col("url") == "https://h0.x/a").collect()[0]
     assert row["text"].endswith("-100")
+
+
+def test_delta_mode_rejects_untrackable_batch_ids(spark, tmp_path):
+    """Non-numeric batch ids are deduped only by the bounded recent
+    set, so exactly-once would degrade to at-least-once after 64
+    commits — harmless under COW's max-LSN winner rule, but in delta
+    mode a redelivered batch appends duplicate layers. Delta merges
+    must refuse ids the durable high-water mark can't track."""
+    table = create_pages_table(spark, str(tmp_path / "t5g"), n_buckets=2)
+    with pytest.raises(ValueError, match="numeric-suffixed"):
+        apply_batch(table, _batch(spark, 0, ["https://h0.x/a"]),
+                    "no-numeric-suffix!", merge_mode="delta")
+    # cow accepts the same id (redelivery is a semantic no-op there)
+    apply_batch(table, _batch(spark, 0, ["https://h0.x/a"]),
+                "no-numeric-suffix!")
 
 
 def test_cow_and_delta_replays_converge_identically(spark, tmp_path):

@@ -90,6 +90,20 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_emits_no_hugeint(name, duck):
+    """The external driver's value hasher canonicalizes DuckDB HUGEINT
+    (int128) differently from BIGINT, so an oracle emitting HUGEINT
+    hash-mismatches even when every value is identical (bit r2:
+    w4_sessionize, text_rolling_fingerprint). Guard the whole registry:
+    DESCRIBE plans the query without executing it and reports column
+    types; any HUGEINT/UHUGEINT column must be CAST to BIGINT in the
+    oracle SQL."""
+    rows = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
+    assert not bad, f"{name}: HUGEINT oracle columns {bad} — CAST to BIGINT"
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(ALL) - set(ORACLES))
 )

@@ -77,6 +77,61 @@ def test_stream_full_state_equivalence(spark, log_dir, tmp_path):
         assert r["warc_ts"] == w["warc_ts"]
 
 
+def test_stream_survives_mid_stream_rebucket_and_expiry(spark, tmp_path):
+    """Partition evolution + snapshot expiry wired into the streaming
+    shell (VERDICT r2 item 8): the stream rebuckets the table after an
+    early epoch and expires old snapshots on a cadence; a kill between
+    the two halves and a resume from the same checkpoint must converge
+    to the exact fold state under the NEW bucket layout, without
+    re-rewriting on resume."""
+    log = str(tmp_path / "wal_rb")
+    spec1 = LogSpec(n_events=600, n_hosts=8, paths_per_host=30, seed=11)
+    write_changelog_segments(spark, spec1, log, n_segments=2)
+    table = create_pages_table(spark, str(tmp_path / "tbl_rb"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt_rb")
+    kw = dict(max_files_per_trigger=4, rebucket_after=(1, 16),
+              expire_every=2, expire_keep=2)
+
+    run_stream(spark, log, table, ckpt, **kw)  # first half, then "kill"
+    assert table.snapshot()["n_buckets"] == 16  # evolved mid-stream
+    v_mid = table.current_version()
+
+    # resume: two more segments arrive (later LSNs)
+    spec2 = LogSpec(n_events=600, n_hosts=8, paths_per_host=30, seed=11,
+                    lsn_offset=600)
+    write_changelog_segments(spark, spec2, log + "_tail", n_segments=2)
+    import shutil as _sh
+    for seg in sorted(__import__("os").listdir(log + "_tail")):
+        _sh.move(f"{log}_tail/{seg}", f"{log}/{seg}2")
+    run_stream(spark, log, table, ckpt, **kw)
+    assert table.snapshot()["n_buckets"] == 16
+    # resume did not re-run the one-shot rebucket
+    assert sum(
+        1 for e in table.lineage() if e["type"] == "rebucket"
+    ) == 1, table.lineage()
+    assert table.current_version() > v_mid
+    # expiry ran: files exclusive to snapshots outside the retained
+    # window (the first merge commit's, pre-rebucket) are gone from
+    # disk (v1 is the create commit — no files — so scan forward)
+    import os as _os
+    early_files: set[str] = set()
+    for v in range(1, table.current_version()):
+        early_files = {f["path"] for f in table.files(table.snapshot(v))}
+        if early_files:
+            break
+    live_files = {f["path"] for f in table.files()}
+    gone = early_files - live_files
+    assert gone and not any(_os.path.exists(p) for p in gone)
+
+    want = _expected(spark, log)
+    rows = table.read().collect()
+    assert {r["url"] for r in rows} == set(want)
+    for r in rows:
+        assert r["text"] == want[r["url"]]["text"]
+    # pruning math holds post-evolution: every live file's bucket < 16
+    assert all(f["bucket"] < 16 for f in table.files())
+
+
 def test_stream_merge_on_read_with_compaction(spark, log_dir, tmp_path):
     """Delta-mode streaming + periodic compaction converges to the
     identical state as COW streaming, and the compaction boundary
