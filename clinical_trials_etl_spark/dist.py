@@ -26,6 +26,13 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    if not os.path.isdir(pkg_dir):
+        # package imported from a zip (spark-submit --py-files): the
+        # submit machinery already shipped that zip to every executor,
+        # so there is nothing to re-zip — and os.walk over a zip path
+        # would silently produce an empty archive
+        _added_contexts.add(key)
+        return
     zpath = os.path.join(
         tempfile.gettempdir(), f"clinical_trials_etl_spark_{os.getpid()}.zip"
     )

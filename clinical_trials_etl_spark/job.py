@@ -54,10 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def get_session() -> SparkSession:
-    """Reuse the spark-submit session when present, else local factory."""
+    """Reuse the spark-submit session when present, else local factory.
+
+    Under spark-submit the JVM gateway already exists
+    (PYSPARK_GATEWAY_PORT is set by PythonRunner) and carries the
+    submitted conf — master, executor sizing, --py-files — so the
+    session MUST be built on it without re-pinning master; the local
+    factory (which hard-sets ``local[N]``) is only for standalone
+    ``python -m`` invocation."""
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        return SparkSession.builder.appName("cdc-ingest").getOrCreate()
     from clinical_trials_etl_spark.session import get_spark
 
     return get_spark("cdc-ingest")
