@@ -50,7 +50,7 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as entry
 
     # warmup: JVM JIT, codegen compile, parquet footer cache — so the
@@ -69,14 +69,37 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         spark.sparkContext.defaultParallelism
     )
     _force(warm.select(extract_text_udf(F.encode(F.lit("<p>w</p>"), "UTF-8"))))
+    # ... and the benchmark tables: one full scan each, so per-query
+    # times are position-independent (before this, whichever query ran
+    # FIRST against a table absorbed its OS-page-cache + footer cold
+    # read — reordering the registry for driver re-certification was
+    # moving multiple seconds between queries). Steady-state per-table
+    # IO is the regime a long-running job sees; the scans are charged
+    # to bench wall, never to any query.
+    import glob
 
+    for pq in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        _force(spark.read.parquet(pq))
+
+    # Steady-state timing: each query runs twice and reports the min —
+    # run 1 pays one-time whole-stage-codegen compilation + Python
+    # worker module imports for that query's plan shape (a cost a
+    # long-running job pays once, and which otherwise lands on
+    # whichever query happens to run FIRST with that shape, moving
+    # seconds between queries when the registry order changes). The
+    # cold first-run times are reported alongside, not hidden.
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        _force(df)
-        times[name] = round(time.perf_counter() - t0, 4)
-    return times
+        per_run = []
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            _force(df)
+            per_run.append(round(time.perf_counter() - t0, 4))
+        cold[name] = per_run[0]
+        times[name] = min(per_run)
+    return times, cold
 
 
 def bench_cdc(spark, n_events: int) -> dict:
@@ -117,7 +140,8 @@ def main() -> None:
 
     canary_before = spin_canary()
     t0 = time.perf_counter()
-    qtimes = bench_queries(spark, sf_dir)
+    qtimes, qcold = bench_queries(spark, sf_dir)
+    canary_mid = spin_canary()  # catches steal bursts between the legs
     cdc = bench_cdc(spark, CDC_EVENTS)
     total = time.perf_counter() - t0
     canary_after = spin_canary()
@@ -127,9 +151,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_cold_first_run": qcold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
-        "spin_canary_sec": [canary_before, canary_after],
+        "spin_canary_sec": [canary_before, canary_mid, canary_after],
     }))
     spark.stop()
 
