@@ -136,7 +136,13 @@ from clinical_trials_etl_spark.session import get_spark
 from clinical_trials_etl_spark.functions.html_extract import extract_text_udf
 
 spark = get_spark("cpu-bench", cores={cores})
-pages = spark.read.parquet({pages_dir!r})
+# 8x-replicate the pages so the stage runs tens of seconds at the small
+# core count: the round-3 extract_text fast path cut per-page cost ~10x,
+# and a too-short stage would let per-job fixed costs (~0.3 s) masquerade
+# as lost scaling. Work per measurement is identical at both core counts.
+pages = (spark.read.parquet({pages_dir!r})
+         .withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+         .repartition({cores} * 4))
 def run():
     t0 = time.perf_counter()
     (pages.select(extract_text_udf(F.col("html")).alias("t"))

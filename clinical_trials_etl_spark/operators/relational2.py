@@ -191,8 +191,14 @@ FROM events
 
 def _mixed_date_str(spark, sf_dir):
     """Deterministic mixed-format date strings derived from o_orderdate
-    (the reference's messy-input regime for F5/F7/F9)."""
-    o = t(spark, sf_dir, "orders")
+    (the reference's messy-input regime for F5/F7/F9).
+
+    scan_parallel: the downstream normalize chain runs ~8 try_to_date
+    attempts + 2 regexes PER ROW — kernel-class cost that must not stay
+    pipelined on a single-row-group scan task (common.scan_parallel)."""
+    from clinical_trials_etl_spark.operators.common import scan_parallel
+
+    o = scan_parallel(t(spark, sf_dir, "orders"))
     m = F.pmod(F.col("o_orderkey"), F.lit(4))
     return o.select(
         "o_orderkey",
