@@ -177,7 +177,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     band explode, the bucket join, and the distinct (~8x fewer shuffled
     signature bytes than the round-1 plan)."""
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # Materialize the signatures once (lazy localCheckpoint truncates
+    # lineage): the plan below branches into the two self-join sides
+    # plus the two re-attach joins, and WITHOUT the checkpoint each
+    # branch re-evaluates the whole shingle+hash aggregate — and the
+    # join-key null-filter pushdown duplicates it AGAIN inside an
+    # isnotnull() guard (~4x the kernel, measured on dedup_simhash's
+    # identical shape). At design scale this materialization is the
+    # standard LSH move: the signature table (n_docs x 33 longs,
+    # distributed) is reused by every band pass and re-attach.
+    sigs = minhash_signatures(d).localCheckpoint(eager=False)
     r = N_MINHASH // N_BANDS
     # band hash = xxhash64 over the band's slice of the signature
     bands = sigs.select(
@@ -272,9 +281,13 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit signatures, 4 bands of 16 bits for
     candidate buckets, hamming distance <= 6 via bit_count(xor).
     Spark-only (rows-only driver check; semantics pinned in tests)."""
+    # lazy localCheckpoint: both self-join sides branch from this plan,
+    # and join-key null-filtering would otherwise duplicate the packed
+    # 64-bit vote aggregate into an isnotnull() per side (~4 signature
+    # evaluations per run; see q_dedup_minhash_lsh for the same move)
     d = scan_parallel(_t(spark, sf_dir, "documents")).select(
         "doc_id", simhash_column(F.col("text")).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     bands = d.select(
         "doc_id",
         "sh",
