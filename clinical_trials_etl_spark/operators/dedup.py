@@ -70,11 +70,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard similarity for candidate pairs sharing at
     least one shingle (bounded to doc_id < 300 so the oracle join stays
     cheap; the unbounded path goes through MinHash-LSH below)."""
+    # lazy localCheckpoint: the self-join below would otherwise
+    # re-shingle both sides (same multi-evaluation shape as the LSH
+    # queries; only the cheap explode re-runs per side now)
     d = (
         scan_parallel(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
-    )
+    ).localCheckpoint(eager=False)
     ex = d.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     a = ex.alias("a")
     b = ex.alias("b")

@@ -163,9 +163,12 @@ def ann_topk(emb_df, query_id: int = QUERY_VEC_ID, k: int = TOP_K,
     vectors up to ~theta = pi * hamming/64 of the query while the scan
     prunes the rest JVM-side."""
     vec = _vec_double(F.col("embedding"))
+    # lazy localCheckpoint: the query-vector branch and the candidate
+    # branch both derive from this plan — without it each side re-runs
+    # the packed-signature aggregate over every vector
     sigs = scan_parallel(emb_df).select(
         "vec_id", "label", vec.alias("vec")
-    ).withColumn("sig", hyperplane_signature("vec"))
+    ).withColumn("sig", hyperplane_signature("vec")).localCheckpoint(eager=False)
     q = sigs.filter(F.col("vec_id") == query_id).select(
         F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
@@ -205,9 +208,13 @@ def near_dup_pairs(emb_df, threshold: float = 0.95,
     candidate pairs afterwards, so the wide payload never rides the
     banded explode/shuffle (the round-1 plan shipped both full vectors
     through every band)."""
+    # lazy localCheckpoint: four plan branches reuse these signatures
+    # (two self-join sides + two vector re-attach joins) — the
+    # materialized signature table is the standard LSH artifact; see
+    # dedup.q_dedup_minhash_lsh for the measured multi-evaluation cost
     sigs = scan_parallel(emb_df).select(
         "vec_id", _vec_double(F.col("embedding")).alias("vec")
-    ).withColumn("sig", hyperplane_signature("vec"))
+    ).withColumn("sig", hyperplane_signature("vec")).localCheckpoint(eager=False)
 
     bands = sigs.select(
         "vec_id",
