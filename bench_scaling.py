@@ -218,11 +218,16 @@ import sys; sys.path.insert(0, {REPO!r})
 from clinical_trials_etl_spark.session import get_spark
 from clinical_trials_etl_spark.lake.table import LakeTable
 spark = get_spark("pages-extract", cores=32)
-LakeTable(spark, {os.path.join(work, f'table_{CORE_PAIR[1]}') + '_rep1'!r}).read().select("url", "html").write.mode("overwrite").parquet({pages_dir!r})
+LakeTable(spark, {os.path.join(work, f'table_{CORE_PAIR[1]}_0') + '_rep1'!r}).read().select("url", "html").write.mode("overwrite").parquet({pages_dir!r})
 """],
             capture_output=True, text=True, timeout=1200,
         )
         cpu = {}
+        if sub.returncode != 0:
+            # don't lose the criterion evidence silently (this bit us
+            # once: a table-naming change emptied cpu_stage unnoticed)
+            print(f"pages extraction FAILED:\n{sub.stderr[-2000:]}",
+                  file=sys.stderr)
         if sub.returncode == 0:
             for cores in CORE_PAIR:
                 print(f"extraction stage at local[{cores}] ...", file=sys.stderr)
