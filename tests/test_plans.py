@@ -99,3 +99,89 @@ def test_range_join_broadcasts_the_band_dimension(spark, sf_dir):
 
     plan = _plan(E.q_j6_value_band_rollup(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan  # 5-row dim: the wanted plan
+
+
+def test_fill_kernel_input_is_filtered_to_needy_rows(spark):
+    """The Arrow extraction kernel must see ONLY rows that need text.
+    Spark evaluates a Python UDF unconditionally (ArrowEvalPython) even
+    under CASE WHEN, so the fill must be a split-filter-union — gate
+    that the plan puts a Filter(isnull(text)) BELOW the UDF eval."""
+    from clinical_trials_etl_spark.cdc.apply import fill_text_post_winner
+    from clinical_trials_etl_spark.lake.table import SYS_DELETED, SYS_LSN
+
+    df = spark.createDataFrame(
+        [("a", b"<p>x</p>", None, 1, False)],
+        f"url string, html binary, text string, {SYS_LSN} long, "
+        f"{SYS_DELETED} boolean",
+    )
+    plan = _plan(fill_text_post_winner(df))
+    assert "ArrowEvalPython" in plan
+    udf_at = plan.index("ArrowEvalPython")
+    below = plan[udf_at:]
+    assert "isnull" in below and "Filter" in below, (
+        "kernel input must be pre-filtered to text-less live rows"
+    )
+
+
+def test_cow_broadcast_plan_keeps_target_out_of_winner_exchange(
+    spark, tmp_path
+):
+    """Above the size threshold the COW merge must decide winners via
+    broadcast joins: the only hashpartitioning exchanges in the commit
+    plan are batch-sized (dedup) plus the final write clustering — the
+    full-width target must NOT feed a winner aggregation exchange."""
+    from pyspark.sql import functions as F
+
+    from clinical_trials_etl_spark.cdc import apply as apply_mod
+    from clinical_trials_etl_spark.cdc.replay import create_pages_table
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        changelog_df,
+    )
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    base = changelog_df(spark, LogSpec(n_events=60, n_hosts=5, seed=7))
+    apply_mod.apply_batch(table, base, "seed", n_salt=1, merge_mode="cow")
+
+    batch = changelog_df(
+        spark, LogSpec(n_events=40, n_hosts=5, seed=8, lsn_offset=60)
+    )
+    snap = table.snapshot()
+    key = table.key_field(snap)
+    from clinical_trials_etl_spark.lake.table import SYS_BUCKET, SYS_DELETED, SYS_LSN
+
+    src = apply_mod.normalize_batch(batch, table.fields(snap)).select(
+        *[f["name"] for f in table.fields(snap)],
+        F.col("lsn").cast("long").alias(SYS_LSN),
+        (F.col("op") == "D").alias(SYS_DELETED),
+    ).withColumn(SYS_BUCKET, table.bucket_expr(F.col(key)))
+
+    old = LakeTable.COW_BROADCAST_BYTES
+    LakeTable.COW_BROADCAST_BYTES = 0  # force the broadcast plan
+    try:
+        merged = table._cow_merged(
+            snap, src, key, set(range(4)), apply_mod.fill_text_post_winner
+        )
+    finally:
+        LakeTable.COW_BROADCAST_BYTES = old
+    plan = _plan(merged)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "max_by" in plan  # the batch-side dedup
+    # The winner decision must NOT be an aggregation over
+    # union(target, batch) — in the broadcast plan the Union is the
+    # plan ROOT (keep_target U keep_batch) and every aggregation sits
+    # on the batch side below it. The old shape (Aggregate over Union)
+    # put the full-width target through a table-sized exchange + sort.
+    lp = merged._jdf.queryExecution().optimizedPlan().toString()
+    lines = [ln for ln in lp.splitlines() if ln.strip()]
+    root_zone = "\n".join(lines[:2])
+    assert "Union" in root_zone, f"Union must be the plan root:\n{lp}"
+    first_agg = next(
+        (i for i, ln in enumerate(lines) if "Aggregate" in ln), None)
+    first_union = next(
+        (i for i, ln in enumerate(lines) if "Union" in ln))
+    assert first_agg is None or first_agg > first_union, (
+        "winner aggregation above the Union — target is being "
+        f"aggregated again:\n{lp}"
+    )
