@@ -204,3 +204,67 @@ def test_hot_key_distribution(spark, log_dir):
     )
     total = sum(r["count"] for r in counts)
     assert counts[0]["count"] > 0.3 * total  # hot head
+
+
+def test_replay_equivalence_under_both_cow_winner_plans(
+    spark, log_dir, expected, tmp_path
+):
+    """The adaptive COW merge has two physical winner plans (wide
+    aggregation vs broadcast decision, LakeTable._cow_merged). Both
+    must converge to the fold byte-for-byte on the full log — this
+    forces the broadcast plan, which the tiny test tables would never
+    select on their own."""
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    old = LakeTable.COW_BROADCAST_BYTES
+    LakeTable.COW_BROADCAST_BYTES = 0
+    try:
+        table = replay(spark, log_dir, str(tmp_path / "bcast"))
+    finally:
+        LakeTable.COW_BROADCAST_BYTES = old
+    got = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert set(got) == set(expected)
+    for url, want in expected.items():
+        assert got[url]["text"] == want["text"], url
+
+
+def test_cow_over_delta_layers_reconciles_before_winner_decision(
+    spark, tmp_path
+):
+    """A cow commit on a table holding unreconciled delta layers: the
+    broadcast winner plan assumes one row per key at rest, which
+    read_raw provides by reconciling layers — gate that a superseded
+    layer row can never resurface through a cow merge. Exercised under
+    BOTH winner plans."""
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    for plan_thresh, name in ((1 << 60, "agg"), (0, "bcast")):
+        table = create_pages_table(
+            spark, str(tmp_path / f"mix-{name}"), n_buckets=4)
+        urls = [f"https://h{i}.x/p" for i in range(6)]
+        # two delta epochs: second supersedes first for urls[0:3]
+        b1 = changelog_df(spark, LogSpec(n_events=30, n_hosts=3, seed=1))
+        apply_batch(table, b1, "e-0", merge_mode="delta")
+        b2 = changelog_df(
+            spark, LogSpec(n_events=30, n_hosts=3, seed=2, lsn_offset=30))
+        apply_batch(table, b2, "e-1", merge_mode="delta")
+        want = {(r["url"], r["text"], r["_lsn"])
+                for r in table.read_raw().select(
+                    "url", "text", "_lsn").collect()}
+        # a cow epoch over the layered table must keep exactly the
+        # reconciled winners for untouched keys
+        b3 = changelog_df(
+            spark, LogSpec(n_events=10, n_hosts=1, seed=3, lsn_offset=60))
+        old = LakeTable.COW_BROADCAST_BYTES
+        LakeTable.COW_BROADCAST_BYTES = plan_thresh
+        try:
+            apply_batch(table, b3, "e-2", merge_mode="cow")
+        finally:
+            LakeTable.COW_BROADCAST_BYTES = old
+        got = {(r["url"], r["text"], r["_lsn"])
+               for r in table.read_raw().select(
+                   "url", "text", "_lsn").collect()}
+        b3_urls = {r["url"] for r in b3.select("url").distinct().collect()}
+        unaffected_want = {t for t in want if t[0] not in b3_urls}
+        unaffected_got = {t for t in got if t[0] not in b3_urls}
+        assert unaffected_got == unaffected_want, name
