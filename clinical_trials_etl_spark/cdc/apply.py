@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from clinical_trials_etl_spark.cdc import registry as reg
 from clinical_trials_etl_spark.dist import ensure_package_on_executors
-from clinical_trials_etl_spark.functions.html_extract import extract_text_udf
+from clinical_trials_etl_spark.functions.html_extract import (
+    extract_text_udf,
+    fill_text_udf,
+)
 from clinical_trials_etl_spark.lake.table import LakeTable
 
 # Dedup plan selector (measured — bench_skew.py + BENCH/BASELINE.md):
@@ -178,24 +181,21 @@ def extract_text_post_dedup(df: DataFrame) -> DataFrame:
     """Fill the ``text`` column from ``html`` via the Arrow kernel, on
     the post-shuffle (deduped) rows only.
 
-    The kernel call must NOT be wrapped in ``F.when``: Spark extracts
-    Python UDFs into an unconditional ``ArrowEvalPython`` node and the
-    CASE WHEN merely selects among already-computed results — a
-    when-masked kernel still runs (and Arrow-transfers) every row.
-    Splitting the frame and unioning keeps the kernel's input plan to
-    exactly the rows that need extraction; the dedup aggregation's
-    exchange is shared between the two branches (ReuseExchange), so
-    the split costs one extra cheap reduce-side pass, not a re-shuffle.
-    Plan-gated by tests/test_plans.py (filter below ArrowEvalPython)."""
+    Uses the MASKED kernel (``fill_text_udf``), not ``F.when(...,
+    extract_text_udf(...))``: Spark extracts Python UDFs into an
+    unconditional ``ArrowEvalPython`` node and the CASE WHEN merely
+    selects among already-computed results, so a when-masked kernel
+    would parse every row including tombstones. The masked kernel
+    keeps the plan single-branch (a split-filter-union would duplicate
+    the dedup aggregation's final pass) while parsing only live rows."""
     if "text" not in df.columns:
         return df
-    needs = df.where(F.col("op") != "D").withColumn(
-        "text", extract_text_udf(F.col("html")).cast("string")
+    return df.withColumn(
+        "text",
+        fill_text_udf(
+            F.col("html"), F.col("text"), F.col("op") == "D"
+        ).cast("string"),
     )
-    dels = df.where(F.col("op") == "D").withColumn(
-        "text", F.lit(None).cast("string")
-    )
-    return needs.unionByName(dels)
 
 
 def fill_text_post_winner(df: DataFrame) -> DataFrame:
@@ -210,20 +210,23 @@ def fill_text_post_winner(df: DataFrame) -> DataFrame:
 
     if "text" not in df.columns or "html" not in df.columns:
         return df
-    # Split-and-union, NOT F.when(needy, kernel): Spark evaluates a
+    # Masked kernel, NOT F.when(needy, kernel): Spark evaluates a
     # Python UDF unconditionally (ArrowEvalPython) even under CASE
     # WHEN, so a when-masked kernel re-extracts every already-extracted
     # TARGET winner each epoch — O(table) kernel work per micro-batch
-    # instead of O(batch), the dominant cost as the table grows
-    # (measured: this one change took a mid-stream epoch's fill phase
-    # from ~0.74 s to the batch-only cost; see BENCH/BASELINE.md).
-    # The winner aggregation's exchange is shared by both branches
-    # (ReuseExchange); only the cheap final-agg pass runs twice.
-    needs = df.where(
-        F.col("text").isNull() & ~F.col(SYS_DELETED)
-    ).withColumn("text", extract_text_udf(F.col("html")).cast("string"))
-    done = df.where(F.col("text").isNotNull() | F.col(SYS_DELETED))
-    return done.unionByName(needs)
+    # instead of O(batch), the dominant cost as the table grows. And
+    # not a split-filter-union either: the split's two branches each
+    # re-run the winner plan's final pass (for the wide-agg merge that
+    # is a table-sized SortAggregate, measured ~25% of a local[4]
+    # replay). fill_text_udf masks inside pandas: single-branch plan,
+    # one Arrow transfer of the winners, extraction only where text is
+    # null and the row is live.
+    return df.withColumn(
+        "text",
+        fill_text_udf(
+            F.col("html"), F.col("text"), F.col(SYS_DELETED)
+        ).cast("string"),
+    )
 
 
 def apply_batch(

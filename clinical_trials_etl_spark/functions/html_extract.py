@@ -152,6 +152,30 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(_extract_text_one)
 
 
+@F.pandas_udf(T.StringType())
+def fill_text_udf(
+    html: pd.Series, text: pd.Series, deleted: pd.Series
+) -> pd.Series:
+    """Masked fill kernel for the CDC merge: extract html -> text ONLY
+    where ``text`` is null and the row is not a tombstone; everything
+    else passes through unchanged.
+
+    The mask lives INSIDE the kernel on purpose. Spark evaluates a
+    Python UDF unconditionally (ArrowEvalPython) even under CASE WHEN,
+    and a split-filter-union around a kernel duplicates its child plan
+    (for the merge that meant running the table-sized winner
+    aggregation twice). A masked kernel keeps the plan single-branch:
+    Arrow transfers every winner row once, but the per-page extraction
+    — the actual cost — runs only on the O(batch) rows that need it.
+    Gated by tests counting kernel invocations per row class."""
+    need = text.isna() & ~deleted.fillna(False).astype(bool)
+    if not need.any():
+        return text
+    out = text.copy()
+    out[need] = html[need].map(_extract_text_one)
+    return out
+
+
 def make_field_extractor(selector: str):
     """Pandas UDF extracting one CSS-selected field per document with the
     reference's '' default (P1/P2; extractors/base.py:88-101)."""

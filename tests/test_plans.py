@@ -101,26 +101,50 @@ def test_range_join_broadcasts_the_band_dimension(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 5-row dim: the wanted plan
 
 
-def test_fill_kernel_input_is_filtered_to_needy_rows(spark):
-    """The Arrow extraction kernel must see ONLY rows that need text.
+def test_fill_kernel_parses_only_needy_rows(spark):
+    """The extraction kernel must PARSE only rows that need text.
     Spark evaluates a Python UDF unconditionally (ArrowEvalPython) even
-    under CASE WHEN, so the fill must be a split-filter-union — gate
-    that the plan puts a Filter(isnull(text)) BELOW the UDF eval."""
+    under CASE WHEN, and a split-filter-union duplicates the kernel's
+    child plan — so the mask lives inside the pandas kernel
+    (fill_text_udf). Gate both halves: (a) unit-level, the parser runs
+    exactly once per null-text live row; (b) plan-level, the fill stays
+    single-branch (one ArrowEvalPython, no Union — the child plan is
+    not duplicated)."""
+    import pandas as pd
+
+    from clinical_trials_etl_spark.functions import html_extract as hx
     from clinical_trials_etl_spark.cdc.apply import fill_text_post_winner
     from clinical_trials_etl_spark.lake.table import SYS_DELETED, SYS_LSN
 
+    # (a) the pandas function itself, with a counting parser
+    calls = []
+    real = hx._extract_text_one
+
+    def counting(payload):
+        calls.append(payload)
+        return real(payload)
+
+    hx._extract_text_one = counting
+    try:
+        out = hx.fill_text_udf.func(
+            pd.Series([b"<p>a</p>", b"<p>b</p>", b"<p>c</p>"]),
+            pd.Series([None, "kept", None]),
+            pd.Series([False, False, True]),
+        )
+    finally:
+        hx._extract_text_one = real
+    assert list(out) == ["a", "kept", None]
+    assert len(calls) == 1, "kernel must parse only null-text live rows"
+
+    # (b) single-branch plan
     df = spark.createDataFrame(
         [("a", b"<p>x</p>", None, 1, False)],
         f"url string, html binary, text string, {SYS_LSN} long, "
         f"{SYS_DELETED} boolean",
     )
     plan = _plan(fill_text_post_winner(df))
-    assert "ArrowEvalPython" in plan
-    udf_at = plan.index("ArrowEvalPython")
-    below = plan[udf_at:]
-    assert "isnull" in below and "Filter" in below, (
-        "kernel input must be pre-filtered to text-less live rows"
-    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Union" not in plan, "fill must not duplicate its child plan"
 
 
 def test_cow_broadcast_plan_keeps_target_out_of_winner_exchange(
