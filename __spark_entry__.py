@@ -56,6 +56,7 @@ _RECERT_FRONT = [
     "f10_age_range",
     "f13_list_preview",
     "a17b_value_percentiles_approx",
+    "a3b_distinct_users_approx",
     # outside round 2's driver window (r1 signal only):
     "j3b_active_customers",
     "set_union_except",
