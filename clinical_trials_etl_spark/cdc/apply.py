@@ -301,6 +301,9 @@ def apply_batch(
         touched_hint=touched,
         mode=merge_mode,
         fill=fill,
+        # the salted/delta branch pre-dedups per key; telling the merge
+        # saves its broadcast plan the redundant batch-wide shuffle
+        source_unique=fill is None,
     )
     stats["evolution_ops"] = ops
 

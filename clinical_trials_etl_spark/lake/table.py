@@ -631,7 +631,8 @@ class LakeTable:
         return total
 
     def _cow_merged(self, snap, src: DataFrame, key: str,
-                    touched: set[int], fill) -> DataFrame:
+                    touched: set[int], fill,
+                    source_unique: bool = False) -> DataFrame:
         """The rows a COW commit writes: per-key max-(lsn, deleted)
         winners of target(touched buckets) vs the batch.
 
@@ -686,12 +687,16 @@ class LakeTable:
 
         # broadcast plan ------------------------------------------------
         # per-key dedup of the batch (duplicate deliveries collapse
-        # map-side; batch-sized shuffle)
-        src_one = (
-            src.groupBy(key)
-            .agg(F.max_by(payload, order).alias("_p"))
-            .select(key, "_p.*")
-        )
+        # map-side; batch-sized shuffle) — skipped when the caller
+        # already deduped (salted path), saving a full-batch shuffle
+        if source_unique:
+            src_one = src
+        else:
+            src_one = (
+                src.groupBy(key)
+                .agg(F.max_by(payload, order).alias("_p"))
+                .select(key, "_p.*")
+            )
         # slim per-key batch winner, computed independently of the wide
         # dedup via max(struct) so the broadcast build scans only three
         # pruned parquet columns. Same ordering struct as max_by above,
@@ -742,12 +747,16 @@ class LakeTable:
         touched_hint: set[int] | None = None,
         mode: str = "cow",
         fill: Callable[[DataFrame], DataFrame] | None = None,
+        source_unique: bool = False,
     ) -> dict:
         """LSN-guarded keyed MERGE (I/U upsert, D tombstone) into the
         touched buckets. ``source`` must carry the table's data columns
         plus ``lsn_col``/``op_col``. In ``"cow"`` mode the merge dedups
         the source to one row per key itself (batch-sized max_by), so
-        the source may carry duplicate deliveries; ``"delta"`` commits
+        the source may carry duplicate deliveries — unless the caller
+        states ``source_unique=True`` (already one row per key, e.g.
+        the salted pre-dedup path), which skips the redundant dedup
+        shuffle; ``"delta"`` commits
         source rows as-is, so the caller must pre-dedup (cdc/apply.py
         does the salted max-LSN dedup there).
 
@@ -832,7 +841,8 @@ class LakeTable:
             }
 
         if mode == "cow":
-            merged = self._cow_merged(snap, src, key, touched, fill)
+            merged = self._cow_merged(
+                snap, src, key, touched, fill, source_unique)
         else:
             # delta: the (already per-key-deduped) batch rows ARE the
             # commit — no base read, no winner decision, no rewrite
