@@ -56,7 +56,9 @@ _RECERT_FRONT = [
     "f10_age_range",
     "f13_list_preview",
     "a17b_value_percentiles_approx",
-    "a3b_distinct_users_approx",
+    # (a3b_distinct_users_approx is Spark-only — rows-only driver
+    # check; its ±3·rsd accuracy contract is pinned in
+    # tests/test_oracle_parity.py)
     # outside round 2's driver window (r1 signal only):
     "j3b_active_customers",
     "set_union_except",

@@ -100,29 +100,26 @@ FROM events
 
 def q_a3b_distinct_users_approx(spark, sf_dir):
     """Scale-safe twin of a3: ``approx_count_distinct`` (HyperLogLog++,
-    rsd=0.5%) instead of exact COUNT(DISTINCT).
+    default rsd=5%) instead of exact COUNT(DISTINCT).
 
     Exact distinct is a full shuffle of every distinct value per
     aggregation; at 10^10 events the HLL sketch holds O(1/rsd^2)
-    registers per group, merges map-side, and never shuffles values —
-    the same mergeable-sketch reasoning as a17b's approx_percentile.
-    At the test corpus's cardinalities (150 users / 5 event types at
-    sf0.01) the register space (2^18) vastly exceeds the cardinality,
-    so the estimator is in its linear-counting regime and returns the
-    EXACT counts — verified against the a3 oracle at sf0.001 and
-    sf0.01 by the parity suite, making the oracle comparison
-    hash-strict while the identical plan carries the 0.5%-rsd
-    guarantee at design scale."""
+    registers, merges map-side, and never shuffles values — the same
+    mergeable-sketch reasoning as a17b's approx_percentile. Unlike
+    a17b there is NO exactness regime to pin an oracle to: Spark's
+    estimator is biased a few percent even when registers far exceed
+    the cardinality (measured: 151 vs 150 at rsd=0.01; shrinking rsd
+    to 0.005 happened to hit 150 at sf0.01 but read 1501 vs 1500 at
+    sf0.1 and cost 40x the runtime — 8.9 s vs 0.2 s — so a
+    hash-strict oracle would be both fragile and the WRONG
+    configuration to ship). Registered Spark-only; the ±3·rsd
+    accuracy contract is pinned by tests/test_oracle_parity.py
+    against the exact a3 at both scale factors, and DuckDB's
+    approx_count_distinct (a different sketch) is not comparable."""
     return t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id", 0.005).alias("n_users"),
-        F.approx_count_distinct("event_type", 0.005).alias("n_event_types"),
+        F.approx_count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("event_type").alias("n_event_types"),
     )
-
-
-# DuckDB's approx_count_distinct uses a different sketch; the honest
-# oracle is the EXACT count, which the Spark estimator provably matches
-# at these cardinalities (see docstring).
-SQL_A3B = SQL_A3
 
 
 def q_a4_mktsegment_counts(spark, sf_dir):
@@ -939,7 +936,7 @@ QUERIES = {
     "a1_event_type_counts": (q_a1_event_type_counts, SQL_A1),
     "a2_top10_words": (q_a2_top10_words, SQL_A2),
     "a3_distinct_users": (q_a3_distinct_users, SQL_A3),
-    "a3b_distinct_users_approx": (q_a3b_distinct_users_approx, SQL_A3B),
+    "a3b_distinct_users_approx": (q_a3b_distinct_users_approx, None),
     "a4_mktsegment_counts": (q_a4_mktsegment_counts, SQL_A4),
     "a5_top_order_priorities": (q_a5_top_order_priorities, SQL_A5),
     "a6_returnflag_status_counts": (q_a6_returnflag_status_counts, SQL_A6),

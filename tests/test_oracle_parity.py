@@ -116,3 +116,22 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_a3b_approx_distinct_within_rsd(spark, sf):
+    """a3b's accuracy contract: the HLL++ estimate must sit within
+    3x the default relative standard deviation (5%) of the exact
+    distinct counts at both scale factors (the estimator has no
+    exactness regime to pin an oracle to — see the query docstring)."""
+    sf_dir = f"/root/testdata/{sf}"
+    from clinical_trials_etl_spark.operators.analytics import (
+        q_a3_distinct_users,
+        q_a3b_distinct_users_approx,
+    )
+
+    exact = q_a3_distinct_users(spark, sf_dir).collect()[0]
+    approx = q_a3b_distinct_users_approx(spark, sf_dir).collect()[0]
+    for col in ("n_users", "n_event_types"):
+        e, a = exact[col], approx[col]
+        assert abs(a - e) <= max(1, 3 * 0.05 * e), (col, e, a)
