@@ -143,7 +143,17 @@ def _extract_text_one(payload) -> str:
         return clean_text_py(
             _htmlmod.unescape(_COMMENT_OR_TAG_RE.sub("", s)).strip()
         )
-    return _extract_text_parser(s)
+    try:
+        return _extract_text_parser(s)
+    except Exception:
+        # CPython's HTMLParser raises AssertionError from _markupbase
+        # ("expected name token") on malformed marked sections such as
+        # '<![ x' or '<![>' — exactly the docs the risk guard routes
+        # here. One bad page must degrade (regex strip), not kill the
+        # whole CDC batch; pinned by tests/test_fast_extract.py.
+        return clean_text_py(
+            _htmlmod.unescape(_COMMENT_OR_TAG_RE.sub("", s)).strip()
+        )
 
 
 @F.pandas_udf(T.StringType())

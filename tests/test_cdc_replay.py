@@ -206,20 +206,25 @@ def test_hot_key_distribution(spark, log_dir):
     assert counts[0]["count"] > 0.3 * total  # hot head
 
 
+@pytest.mark.parametrize("n_salt", [None, 4], ids=["fill", "salted"])
 def test_replay_equivalence_under_both_cow_winner_plans(
-    spark, log_dir, expected, tmp_path
+    spark, log_dir, expected, tmp_path, n_salt
 ):
     """The adaptive COW merge has two physical winner plans (wide
     aggregation vs broadcast decision, LakeTable._cow_merged). Both
     must converge to the fold byte-for-byte on the full log — this
     forces the broadcast plan, which the tiny test tables would never
-    select on their own."""
+    select on their own. The salted variant (n_salt=4) drives the
+    source_unique=True shortcut (src_one=src, lake/table.py:692) — the
+    combination a wide-payload design-scale deployment runs — through
+    the forced broadcast plan."""
     from clinical_trials_etl_spark.lake.table import LakeTable
 
     old = LakeTable.COW_BROADCAST_BYTES
     LakeTable.COW_BROADCAST_BYTES = 0
     try:
-        table = replay(spark, log_dir, str(tmp_path / "bcast"))
+        table = replay(spark, log_dir, str(tmp_path / "bcast"),
+                       n_salt=n_salt)
     finally:
         LakeTable.COW_BROADCAST_BYTES = old
     got = {r["url"]: r.asDict() for r in table.read().collect()}

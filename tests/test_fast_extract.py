@@ -77,6 +77,24 @@ def test_adversarial_corpus_identical():
         assert got == expect, (s, got, expect)
 
 
+def test_malformed_marked_sections_degrade_not_crash():
+    # CPython's HTMLParser (_markupbase) raises AssertionError on
+    # these; the guard routes them to the parser, so the wrapper must
+    # catch and degrade to the regex strip instead of killing the
+    # Spark task (one bad page must not fail a whole CDC batch)
+    for s in ["<![ x", "<![>", "a<![ b>c", "<![\x00]>tail", "x<![y"]:
+        raised = False
+        try:
+            _extract_text_parser(s)
+        except Exception:
+            raised = True
+        got = _extract_text_one(s.encode())  # must not raise
+        if raised:
+            assert got == _fast(s), s
+        else:
+            assert got == _extract_text_parser(s), s
+
+
 def test_guard_flags_each_divergent_construct():
     # each of these WOULD diverge under the fast path; the guard must
     # route every one to the parser
@@ -126,10 +144,16 @@ def test_property_fast_path_matches_parser(s):
     if _guard_says_fast(s):
         assert _fast(s) == _extract_text_parser(s)
     # and the dispatching wrapper always equals the parser on guarded
-    # docs by construction — total behavior equals parser everywhere
-    assert _extract_text_one(s.encode()) == (
-        _fast(s) if _guard_says_fast(s) else _extract_text_parser(s)
-    )
+    # docs by construction — total behavior equals parser everywhere,
+    # except where the parser itself crashes (malformed marked
+    # sections), where the wrapper must degrade to the regex strip
+    try:
+        expect = (
+            _fast(s) if _guard_says_fast(s) else _extract_text_parser(s)
+        )
+    except Exception:
+        expect = _fast(s)
+    assert _extract_text_one(s.encode()) == expect
 
 
 def test_decode_passthrough_unchanged():

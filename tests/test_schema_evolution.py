@@ -92,6 +92,13 @@ def test_mid_stream_evolution_preserves_old_rows(spark, tmp_path,
     # (pre-rename/pre-widen files) — evolution must survive both
     old_thresh = LakeTable.COW_BROADCAST_BYTES
     LakeTable.COW_BROADCAST_BYTES = bcast_thresh
+    try:
+        _run_mid_stream_evolution(spark, tmp_path)
+    finally:
+        LakeTable.COW_BROADCAST_BYTES = old_thresh
+
+
+def _run_mid_stream_evolution(spark, tmp_path):
     table = create_pages_table(spark, str(tmp_path / "tbl"), n_buckets=4)
 
     b1 = spark.createDataFrame(
@@ -129,4 +136,3 @@ def test_mid_stream_evolution_preserves_old_rows(spark, tmp_path,
     # untouched buckets) unless their bucket was touched again
     sigs = {tuple(sorted(f["phys"].items())) for f in table.files()}
     assert len(sigs) >= 1
-    LakeTable.COW_BROADCAST_BYTES = old_thresh
