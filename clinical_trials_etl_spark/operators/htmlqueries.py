@@ -271,8 +271,89 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- adversarial corpus
+
+def q_html_adversarial_text(spark, sf_dir):
+    """extract_text over generator-declared ADVERSARIAL pages — the
+    driver-oracled certification of the fast-path risk guard
+    (html_extract.py::_RISKY_RE) and both non-fast code paths, which
+    the other html_* queries (well-formed concat-built pages) never
+    exercise (VERDICT.md round-3 item 2).
+
+    Three deterministic page variants by doc_id % 3:
+      0: parser path — bare '<' as data, <script>/<style> raw-text
+         contents, quoted-'>' attribute, comment, entities, and an
+         unterminated comment at EOF;
+      1: fast path — well-formed tags + entities + comment (guard must
+         pass it);
+      2: degradation path — malformed marked section '<![ x' crashes
+         CPython's HTMLParser, so the kernel must fall back to the
+         regex strip (one bad page degrades, never kills the batch).
+    The oracle declares each variant's exact expected text with plain
+    SQL string expressions (HTMLParser text-walk semantics worked out
+    by hand; pinned independently in tests/test_fast_extract.py)."""
+    ensure_package_on_executors(spark)
+    d = _docs(spark, sf_dir)
+    t = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8)
+    v = F.pmod(F.col("doc_id"), F.lit(3))
+    html = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("<html><body><p>a < b and 1< "), t, F.lit("</p>"),
+                F.lit("<script>var x = '<b>"), t, F.lit("</b>';</script>"),
+                F.lit("<style>p > s { color: red }</style>"),
+                F.lit('<a title="x>y">'), t, F.lit("-link</a>"),
+                F.lit("<!-- hidden "), t, F.lit(" -->"),
+                F.lit("<p>&amp; "), t, F.lit(" &lt;tag&gt;</p>"),
+                F.lit("tail <!-- unterminated "), t,
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("<html><head><title>T "), t,
+                F.lit("</title></head><body><p>"), t,
+                F.lit(" &amp; co</p><!-- c --><div><span>x "), t,
+                F.lit("</span></div></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><body><![ "), t, F.lit("<p>after "), t,
+                F.lit("</p>&amp; done</body></html>"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        v.alias("variant"),
+        HX.extract_text_udf(_b(html)).alias("text_out"),
+    ).orderBy("doc_id")
+
+
+SQL_HTML_ADVERSARIAL_TEXT = r"""
+SELECT doc_id,
+       doc_id % 3 AS variant,
+       CASE doc_id % 3
+         WHEN 0 THEN 'a < b and 1< ' || t || 'var x = ''<b>' || t
+                  || '</b>'';p > s { color: red }' || t || '-link& '
+                  || t || ' <tag>tail <!-- unterminated ' || t
+         WHEN 1 THEN 'T ' || t || t || ' & cox ' || t
+         ELSE 'after ' || t || '& done'
+       END AS text_out
+FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS t
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "html_extract_text": (q_html_extract_text, SQL_HTML_EXTRACT_TEXT),
+    "html_adversarial_text": (
+        q_html_adversarial_text,
+        SQL_HTML_ADVERSARIAL_TEXT,
+    ),
     "html_document_assembly": (
         q_html_document_assembly,
         SQL_HTML_DOCUMENT_ASSEMBLY,
