@@ -110,3 +110,45 @@ def test_replace_partition_golden():
         "ALTER TABLE lake.pages REPLACE PARTITION FIELD "
         "bucket(16, url) WITH bucket(64, url)"
     )
+
+
+def test_every_rendered_statement_parses_with_sparks_own_parser(spark):
+    """Syntax-drift gate (VERDICT.md round-3 item 3): no catalog is
+    available in-sandbox, but Spark's own SQL parser IS — every
+    rendered DDL/DML statement must produce a logical plan through
+    ``sessionState.sqlParser.parsePlan``. Golden tests pin the exact
+    text; this pins that the text is *valid Spark SQL*, so a rendering
+    bug (missing comma, misplaced clause) can't hide behind a matching
+    golden."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    stmts = [
+        I.create_table_statement("lake.pages", PAGES_REGISTRY[1], "url", 32),
+        *I.alter_statements("t", diff(PAGES_REGISTRY[1], PAGES_REGISTRY[2])),
+        *I.alter_statements("t", diff(PAGES_REGISTRY[2], PAGES_REGISTRY[3])),
+        *I.alter_statements("t", diff(PAGES_REGISTRY[3], PAGES_REGISTRY[4])),
+        *I.alter_statements("t", diff(PAGES_REGISTRY[1], PAGES_REGISTRY[4])),
+        I.merge_statement("lake.pages", "batch_v", PAGES_REGISTRY[1], "url"),
+        I.merge_statement("lake.pages", "batch_v", PAGES_REGISTRY[4], "url"),
+    ]
+    for s in stmts:
+        parser.parsePlan(s)  # raises ParseException on invalid SQL
+
+
+def test_replace_partition_is_iceberg_extension_syntax(spark):
+    """REPLACE PARTITION FIELD is *Iceberg-extension* grammar — parsed
+    by IcebergSparkSessionExtensions on a real catalog, NOT by Spark's
+    base parser. Pin that fact: if a Spark upgrade ever starts
+    accepting it natively (or the statement is reworded into base
+    grammar) this test flags the seam for re-review."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from clinical_trials_etl_spark.lake.iceberg_sql import (
+        replace_partition_statement,
+    )
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    stmt = replace_partition_statement("lake.pages", "url", 16, 64)
+    with pytest.raises(Exception) as exc:
+        parser.parsePlan(stmt)
+    assert "PARSE_SYNTAX_ERROR" in str(exc.value)
