@@ -97,6 +97,7 @@ def run_stream(
     rebucket_after: tuple[int, int] | None = None,
     expire_every: int | None = None,
     expire_keep: int = 2,
+    fail_after_batches: int | None = None,
 ):
     """Process everything currently in ``log_dir`` through streaming
     micro-batches and stop (processAllAvailable). Safe to call again
@@ -123,7 +124,13 @@ def run_stream(
       drop data files only snapshots older than the retained window
       reference (LakeTable.expire_snapshots) — the streaming analog of
       a scheduled retention job; without it a long-running delta stream
-      accretes every superseded layer forever."""
+      accretes every superseded layer forever.
+
+    ``fail_after_batches=N`` is fault injection for tests: raise AFTER
+    the N-th applied epoch's lake commit (and its maintenance) but
+    BEFORE Structured Streaming checkpoints that epoch's offsets — the
+    worst-case crash window. The resumed run re-delivers that epoch and
+    the idempotent commit (batch_id already in lineage) must no-op."""
     listener = MetricsListener()
     spark.streams.addListener(listener)
 
@@ -159,6 +166,11 @@ def run_stream(
                 table.rebucket(rebucket_after[1])
             if expire_every and applied["n"] % expire_every == 0:
                 table.expire_snapshots(keep_last=expire_keep)
+            if fail_after_batches and applied["n"] >= fail_after_batches:
+                raise RuntimeError(
+                    f"injected crash after applied epoch {epoch_id} "
+                    "(lake committed, offsets not)"
+                )
 
     query = (
         source.writeStream.foreachBatch(handle)

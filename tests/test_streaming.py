@@ -154,3 +154,59 @@ def test_stream_merge_on_read_with_compaction(spark, log_dir, tmp_path):
         max_files_per_trigger=1, merge_mode="delta", compact_every=2,
     )
     assert table.current_version() == v
+
+
+def test_stream_delta_mid_stream_kill_resumes_identically(
+    spark, log_dir, tmp_path
+):
+    """Kill BETWEEN delta commits (VERDICT.md round-3 item 5): the
+    injected crash fires after an epoch's delta layer (and possibly a
+    compaction) is committed but before Structured Streaming
+    checkpoints its offsets — the worst-case window. The resume
+    re-delivers that epoch; the idempotent commit must no-op it, the
+    deferred compactions must replay on the resumed cadence, and final
+    state must be byte-identical to an uninterrupted delta stream AND
+    the fold."""
+    table = create_pages_table(spark, str(tmp_path / "tbl_dk"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt_dk")
+    kw = dict(max_files_per_trigger=1, merge_mode="delta", compact_every=2)
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream(spark, log_dir, table, ckpt, fail_after_batches=3, **kw)
+    kinds = [e["type"] for e in table.lineage()]
+    assert kinds.count("merge") == 3  # 3 delta epochs landed pre-crash
+    assert kinds.count("compaction") == 1  # boundary at 2 fired
+    v_crash = table.current_version()
+
+    # resume from the same checkpoint: the crashed epoch is re-delivered
+    # (its offsets were never committed) and must be a metadata no-op;
+    # the remaining files apply; compaction cadence continues
+    run_stream(spark, log_dir, table, ckpt, **kw)
+    kinds = [e["type"] for e in table.lineage()]
+    # one merge per WAL file and not one more: the re-delivered epoch
+    # was skipped by the idempotent commit, not applied twice
+    import glob as _glob
+    n_files = len(_glob.glob(f"{log_dir}/segment=*/*.parquet"))
+    assert kinds.count("merge") == n_files, (kinds.count("merge"), n_files)
+    assert kinds.count("compaction") >= 2  # cadence resumed post-crash
+    assert table.current_version() > v_crash
+
+    want = _expected(spark, log_dir)
+    got = {r["url"]: r for r in table.read().collect()}
+    assert set(got) == set(want)
+    for u, w in want.items():
+        assert got[u]["text"] == w["text"]
+        assert got[u]["language"] == w["language"]
+
+    # byte-identity vs an uninterrupted delta stream over the same log
+    clean = create_pages_table(spark, str(tmp_path / "tbl_dc"), n_buckets=8)
+    run_stream(spark, log_dir, clean, str(tmp_path / "ckpt_dc"), **kw)
+    a = sorted(
+        tuple(r) for r in table.read_raw()
+        .select("url", "text", "language", "_lsn", "_deleted").collect()
+    )
+    b = sorted(
+        tuple(r) for r in clean.read_raw()
+        .select("url", "text", "language", "_lsn", "_deleted").collect()
+    )
+    assert a == b
