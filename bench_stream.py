@@ -13,8 +13,13 @@ configuration — and its wall time INCLUDES those compactions.
 Per-leg spin canaries carry the host-contention reading (quiet ~0.19 s;
 see BENCH/BASELINE.md "Host noise").
 
-Usage: python bench_stream.py [n_events] [n_segments]
-       (defaults 1_000_000 / 16)
+Usage: python bench_stream.py [n_events] [n_segments] [modes]
+       (defaults 1_000_000 / 16 / cow,delta)
+
+Each leg also reports per-epoch addBatch seconds in batch order — the
+ev/s-vs-table-size curve that separates the two modes' asymptotics
+(VERDICT r3 item 4): COW's per-epoch cost grows with table size, delta's
+stays ~flat.
 
 Prints one JSON line with ev/s, bytes written, and canaries per mode.
 """
@@ -65,9 +70,18 @@ if {mode!r} == "delta":
     kwargs.update(merge_mode="delta", compact_every=4)
 c0 = spin_canary()
 t0 = time.perf_counter()
-run_stream(spark, {log_dir!r}, table, {work!r} + "/ckpt_{mode}", **kwargs)
+progress = run_stream(spark, {log_dir!r}, table,
+                      {work!r} + "/ckpt_{mode}", **kwargs)
 wall = time.perf_counter() - t0
 c1 = spin_canary()
+# per-epoch addBatch seconds, in batch order: the ev/s-vs-table-size
+# curve. COW's epochs slow down as the table grows (each rewrites
+# ever-larger buckets); delta's stay ~flat (O(batch) commits) with
+# periodic compaction spikes.
+epoch_secs = [
+    round(json.loads(p["duration_ms"]).get("addBatch", 0) / 1000.0, 2)
+    for p in sorted(progress, key=lambda p: p["batch_id"])
+]
 print("RESULT " + json.dumps({{
     "mode": {mode!r},
     "wall_sec": round(wall, 3),
@@ -75,6 +89,7 @@ print("RESULT " + json.dumps({{
     "bytes_written": dir_bytes({work!r} + "/tbl_{mode}"),
     "final_rows": table.read().count(),
     "n_commits": table.current_version(),
+    "epoch_addbatch_sec": epoch_secs,
     "spin_canary_sec": [c0, c1],
 }}))
 spark.stop()
@@ -85,6 +100,8 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    modes = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ["cow", "delta"])
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     buckets = 64
     work = tempfile.mkdtemp(prefix="bench_stream_")
@@ -121,7 +138,7 @@ def main() -> None:
         results = {}
         # one file-group per trigger => n_segments micro-batches
         fpt = 32
-        for mode in ("cow", "delta"):
+        for mode in modes:
             print(f"streaming leg: {mode} ...", file=sys.stderr)
             code = _LEG_SNIPPET.format(
                 repo=REPO, cores=cores, work=work, log_dir=log_dir,
@@ -130,7 +147,7 @@ def main() -> None:
             )
             out = subprocess.run([sys.executable, "-c", code],
                                  capture_output=True, text=True,
-                                 timeout=3600)
+                                 timeout=14400)
             for line in out.stdout.splitlines():
                 if line.startswith("RESULT "):
                     results[mode] = json.loads(line[len("RESULT "):])
@@ -141,19 +158,22 @@ def main() -> None:
                     f"\n{out.stderr[-2000:]}"
                 )
 
-        assert results["cow"]["final_rows"] == results["delta"]["final_rows"]
-        print(json.dumps({
+        summary = {
             "n_events": n_events,
             "n_segments": n_segments,
             "cores": cores,
             **{f"{m}_{k}": v for m, r in results.items()
                for k, v in r.items() if k != "mode"},
-            "delta_vs_cow_speedup": round(
-                results["cow"]["wall_sec"] / results["delta"]["wall_sec"], 2),
-            "write_amplification_ratio": round(
+        }
+        if "cow" in results and "delta" in results:
+            assert (results["cow"]["final_rows"]
+                    == results["delta"]["final_rows"])
+            summary["delta_vs_cow_speedup"] = round(
+                results["cow"]["wall_sec"] / results["delta"]["wall_sec"], 2)
+            summary["write_amplification_ratio"] = round(
                 results["cow"]["bytes_written"]
-                / max(results["delta"]["bytes_written"], 1), 2),
-        }))
+                / max(results["delta"]["bytes_written"], 1), 2)
+        print(json.dumps(summary))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
