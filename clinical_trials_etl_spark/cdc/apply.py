@@ -264,8 +264,15 @@ def apply_batch(
         F.collect_set(
             table.bucket_expr(F.col(table.key_field(snap)))
         ).alias("_buckets"),
+        F.min("lsn").alias("_lsn_lo"),
+        F.max("lsn").alias("_lsn_hi"),
     ).collect()[0]
     touched = set(meta["_buckets"])
+    # per-commit lineage carries the SOURCE OFFSET RANGE (north rule:
+    # offset range -> snapshot-id -> row counts); free — same single
+    # metadata aggregation job
+    lineage = dict(lineage or {},
+                   lsn_range=[meta["_lsn_lo"], meta["_lsn_hi"]])
 
     ops = evolve_for_batch(table, batch, registry, max_ver=meta["_mx"])
     fields = table.fields()

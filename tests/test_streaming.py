@@ -61,6 +61,14 @@ def test_stream_apply_and_restart(spark, log_dir, tmp_path):
     # lineage: every merge commit carries its epoch + touched buckets
     merges = [e for e in table.lineage() if e["type"] == "merge"]
     assert merges and all("epoch" in e and e["touched_buckets"] for e in merges)
+    # ... and the source offset range (north rule: offset range ->
+    # snapshot-id -> row counts), disjoint-union-covering the log
+    assert all(
+        e["lsn_range"][0] <= e["lsn_range"][1] for e in merges
+    )
+    lo = min(e["lsn_range"][0] for e in merges)
+    hi = max(e["lsn_range"][1] for e in merges)
+    assert lo == 0 and hi == SPEC.n_events - 1
 
 
 def test_stream_full_state_equivalence(spark, log_dir, tmp_path):
