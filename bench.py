@@ -127,11 +127,24 @@ def bench_cdc(spark, n_events: int) -> dict:
                        segments_per_batch=1)
         wall = time.perf_counter() - t0
         final_rows = table.read().count()
+        # same log through the merge-on-read path (delta commits +
+        # compaction every 4 epochs) — the design-scale configuration
+        # for drip-into-a-growing-table regimes; final state must be
+        # row-identical to the COW replay
+        t0 = time.perf_counter()
+        dtable = replay(spark, log_dir, os.path.join(work, "table_mor"),
+                        segments_per_batch=1, merge_mode="delta",
+                        compact_every=4)
+        dwall = time.perf_counter() - t0
+        drows = dtable.read().count()
+        assert drows == final_rows, (drows, final_rows)
         return {
             "events": n_events,
             "replay_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),
             "final_rows": final_rows,
+            "delta_replay_sec": round(dwall, 3),
+            "delta_events_per_sec": round(n_events / dwall, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -49,6 +49,8 @@ def replay(
     start_segment: int = 0,
     n_salt: int | None = None,
     batch_prefix: str = "replay",
+    merge_mode: str | None = None,
+    compact_every: int | None = None,
 ) -> LakeTable:
     """Replay the log into a fresh (or existing, when resuming) table;
     one micro-batch per ``segments_per_batch`` segments.
@@ -60,24 +62,35 @@ def replay(
     first's and ``is_applied`` silently skips its batches. Within one
     logical pass, resuming must keep both the prefix and
     ``segments_per_batch``: the id is keyed to the segment index, so a
-    chunking change across a resume would alias ids."""
+    chunking change across a resume would alias ids.
+
+    ``merge_mode="delta"`` + ``compact_every=K``: merge-on-read batch
+    replay — the same O(batch)-per-commit regime run_stream offers,
+    for batch backfills (each epoch appends delta layers; every K
+    applied epochs the table folds them back into base files)."""
     if os.path.exists(os.path.join(table_root, "_meta", "_current")):
         table = LakeTable(spark, table_root)
     else:
         table = create_pages_table(spark, table_root, n_buckets)
     segs = list_segments(log_dir)
+    applied = 0
     for i in range(start_segment, len(segs), segments_per_batch):
         chunk = segs[i : i + segments_per_batch]
         batch = spark.read.schema(TRANSPORT_SCHEMA).option(
             "basePath", log_dir
         ).parquet(*chunk)
         kwargs = {} if n_salt is None else {"n_salt": n_salt}
-        apply_batch(
+        stats = apply_batch(
             table,
             batch,
             batch_id=f"{batch_prefix}-{i}",
             registry=registry or PAGES_REGISTRY,
             lineage={"segments": [os.path.basename(s) for s in chunk]},
+            merge_mode=merge_mode,
             **kwargs,
         )
+        if not stats.get("skipped"):
+            applied += 1
+            if compact_every and applied % compact_every == 0:
+                table.compact()
     return table

@@ -273,3 +273,20 @@ def test_cow_over_delta_layers_reconciles_before_winner_decision(
         unaffected_want = {t for t in want if t[0] not in b3_urls}
         unaffected_got = {t for t in got if t[0] not in b3_urls}
         assert unaffected_got == unaffected_want, name
+
+
+def test_replay_delta_mode_converges_identically(
+    spark, log_dir, expected, tmp_path
+):
+    """Batch replay through the merge-on-read path (replay(merge_mode=
+    'delta', compact_every)) must converge to the same fold state as
+    COW replay — the backfill twin of the streaming delta test."""
+    table = replay(spark, log_dir, str(tmp_path / "mor"),
+                   merge_mode="delta", compact_every=3)
+    got = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert set(got) == set(expected)
+    for url, want in expected.items():
+        assert got[url]["text"] == want["text"], url
+        assert got[url]["language"] == want["language"], url
+    kinds = [e["type"] for e in table.lineage()]
+    assert "compaction" in kinds  # the cadence actually fired
