@@ -38,10 +38,12 @@ _REGISTRIES = [
 
 # Round-4 re-certification front (driver records the first 50 merged
 # entries in insertion order; VERDICT.md round-3 items 1-2):
-#  - the 7 rows-only queries (LSH/simhash/ANN/near-dup/IVF/mm_feature/
-#    a3b) that have NEVER had a driver row — rounds 1-3 always placed
-#    them behind the 76 SQL-oracled entries, outside the 50-row
-#    window. Their rows-only record (row-count + schema + no-crash) is
+#  - the 7 queries (LSH/simhash/ANN/near-dup/IVF/mm_feature/a3b) that
+#    have NEVER had a driver row — rounds 1-3 always placed them (all
+#    rows-only then) behind the 76 SQL-oracled entries, outside the
+#    50-row window. mm_feature_extract gained a full DuckDB oracle in
+#    round 4 (sha256 hex-slice twin); the other six stay rows-only,
+#    where the driver record (row-count + schema + no-crash) is still
 #    independent signal the repo's own tests can't provide;
 #  - html_adversarial_text (new this round): driver-oracled
 #    certification of the round-3 fast-path risk guard on pages that

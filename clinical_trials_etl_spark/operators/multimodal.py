@@ -74,7 +74,9 @@ def q_mm_feature_extract(spark, sf_dir):
     The "features" are a deterministic fold of the decoded bytes (stub
     decode), so re-runs are reproducible; swap ``_decode_payload`` for a
     real codec to get real features with the identical Spark plan.
-    Spark-only (rows-only driver check; determinism pinned in tests)."""
+    Fully oracled (round 4): DuckDB recomputes the sha256-word features
+    exactly via hex-slice -> UBIGINT, so the Arrow kernel's output is
+    value-checked, not just row-counted."""
     ensure_package_on_executors(spark)
     d = with_payload(scan_parallel(_t(spark, sf_dir, "documents")))
 
@@ -213,9 +215,23 @@ FROM r ORDER BY doc_id
 """
 
 
+# DuckDB twin of the mapInPandas feature fold: payload = UTF-8 bytes of
+# text, feature_i = big-endian uint32 word i of sha256(payload) / 2^32
+# (hex slice -> UBIGINT reproduces int.from_bytes(digest, "big") exactly)
+SQL_MM_FEATURE_EXTRACT = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       round(CAST(('0x' || substring(sha256(text), 1, 8)) AS UBIGINT)
+             / 4294967296.0, 6) AS f0,
+       round(CAST(('0x' || substring(sha256(text), 9, 8)) AS UBIGINT)
+             / 4294967296.0, 6) AS f1
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_metadata": (q_mm_metadata, SQL_MM_METADATA),
     "mm_resize": (q_mm_resize, SQL_MM_RESIZE),
-    "mm_feature_extract": (q_mm_feature_extract, None),
+    "mm_feature_extract": (q_mm_feature_extract, SQL_MM_FEATURE_EXTRACT),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME),
 }
