@@ -290,3 +290,50 @@ def test_replay_delta_mode_converges_identically(
         assert got[url]["language"] == want["language"], url
     kinds = [e["type"] for e in table.lineage()]
     assert "compaction" in kinds  # the cadence actually fired
+
+
+def test_empty_batch_is_graceful_noop(spark, tmp_path):
+    """A streaming trigger can deliver an EMPTY micro-batch; the apply
+    path must no-op (no crash on the all-null metadata aggregate, no
+    spurious commit) — pinned because the meta agg's max(schema_ver)
+    returns null on empty input."""
+    table = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    cols = (
+        "lsn long, op string, url string, warc_ts timestamp, html binary,"
+        " lang string, language string, fetch_status long, schema_ver int"
+    )
+    stats = apply_batch(table, spark.createDataFrame([], cols), "empty-1")
+    assert stats["merged_rows"] == 0 and stats["touched_buckets"] == 0
+    assert table.current_version() == 1  # create only — no data commit
+    assert table.read().count() == 0
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # all deletes after a base: tombstone-heavy regime
+        LogSpec(n_events=800, n_hosts=6, paths_per_host=10, seed=3,
+                p_insert=0.2, p_update=0.1),
+        # half the log redelivered verbatim: exactly-once stress
+        LogSpec(n_events=800, n_hosts=6, paths_per_host=10, seed=4,
+                dup_rate=0.5),
+        # nearly everything out of order with a huge lag window
+        LogSpec(n_events=800, n_hosts=6, paths_per_host=10, seed=5,
+                ooo_frac=0.9, max_lag_s=86_400),
+        # extreme host skew: one hot host takes ~all events
+        LogSpec(n_events=800, n_hosts=40, paths_per_host=10, seed=6,
+                skew_exp=8.0),
+    ],
+    ids=["delete-heavy", "dup-heavy", "ooo-heavy", "skew-heavy"],
+)
+def test_replay_matches_fold_under_extreme_mixes(spark, tmp_path, spec):
+    """Replay == fold under adversarial log compositions, not just the
+    default mix (SURVEY.md §5 fuzz axis)."""
+    d = str(tmp_path / "wal")
+    write_changelog_segments(spark, spec, d, n_segments=3)
+    table = replay(spark, d, str(tmp_path / "tbl"), segments_per_batch=1)
+    rows = [
+        r.asDict()
+        for r in spark.read.option("basePath", d).parquet(d).collect()
+    ]
+    _assert_state_equal(_final_state(table), fold_changelog(rows))
