@@ -319,9 +319,20 @@ class LakeTable:
 
         parts = []
         for sig, group in by_sig.items():
-            phys = json.loads(sig)  # {"f_<id>": type, ...} + system cols
+            phys = json.loads(sig)  # {"f_<id>": type, ...}
             paths = [g["path"] for g in group]
-            df = self.spark.read.parquet(*paths)
+            # explicit schema from the snapshot's recorded physical
+            # signature: skips Spark's eager footer-based inference at
+            # DataFrame creation (a driver-side read per call that
+            # grows with file count; the signature IS the authority on
+            # what these files contain — name-matched by the reader)
+            phys_struct = T.StructType(
+                [T.StructField(n, _spark_type(t))
+                 for n, t in sorted(phys.items())]
+                + [T.StructField(SYS_LSN, T.LongType()),
+                   T.StructField(SYS_DELETED, T.BooleanType())]
+            )
+            df = self.spark.read.schema(phys_struct).parquet(*paths)
             proj = []
             for fld in fields:
                 phys_name = f"f_{fld['id']}"
