@@ -303,11 +303,28 @@ class LakeTable:
 
     # ------------------------------------------------------------ read
 
-    def _read_files(self, snap: dict, buckets: set[int] | None) -> DataFrame:
+    def _read_files(
+        self,
+        snap: dict,
+        buckets: set[int] | None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Read snapshot files (grouped by their write-time physical
         schema so widened columns coexist), project to the *current*
-        schema by field-id, cast as needed."""
+        schema by field-id, cast as needed.
+
+        ``columns``: restrict the projection to these data fields (the
+        system columns always ride along). This is the column-pruning
+        seam for merge-on-read reads: the winner aggregation packs its
+        payload into ONE struct, which blocks Catalyst from pruning
+        through it — so the pruning must happen here, upstream of the
+        reconciliation (plan-gated in tests/test_plans.py)."""
         fields = self.fields(snap)
+        if columns is not None:
+            missing = set(columns) - {f["name"] for f in fields}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            fields = [f for f in fields if f["name"] in set(columns)]
         files = self.files(snap, buckets)
         out_struct = self._full_struct(fields)
         if not files:
@@ -371,24 +388,49 @@ class LakeTable:
         )
 
     def _read_reconciled(
-        self, snap: dict, buckets: set[int] | None
+        self,
+        snap: dict,
+        buckets: set[int] | None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Union of base + delta layers, reconciled to one row per key
         when any delta layer is present in the selection (merge-on-read).
         Base-only selections skip the aggregation entirely — COW data
-        is already one-row-per-key at rest."""
+        is already one-row-per-key at rest.
+
+        ``columns``: data-field subset to read (the key is added if
+        absent — the reconciliation groups by it)."""
+        key = self.key_field(snap)
+        cols = None
+        if columns is not None:
+            cols = list(dict.fromkeys([*columns, key]))
         entries = self.files(snap, buckets)
-        df = self._read_files(snap, buckets)
+        df = self._read_files(snap, buckets, cols)
         if any(e.get("delta") for e in entries):
-            df = self._winner_per_key(df, self.key_field(snap))
+            df = self._winner_per_key(df, key)
         return df
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Live rows at a snapshot (delta layers reconciled, tombstones
-        filtered, system cols off)."""
+        filtered, system cols off).
+
+        ``columns``: project to these fields AT THE SCAN. For COW
+        tables a plain ``.select`` after read() prunes identically
+        (Catalyst pushes it to the parquet scan), but on a table with
+        delta layers the winner aggregation's payload struct blocks
+        that pushdown — pass ``columns`` to keep a narrow read narrow
+        at any table width (at design scale: reading one field of a
+        page row must not scan the html blobs)."""
         snap = self.snapshot(version)
-        df = self._read_reconciled(snap, None)
-        return df.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
+        df = self._read_reconciled(snap, None, columns)
+        out = df.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
+        if columns is not None:
+            out = out.select(*columns)  # drop a key added only for dedup
+        return out
 
     def read_raw(self, buckets: set[int] | None = None) -> DataFrame:
         """Rows incl. tombstones + system cols, reconciled to one row

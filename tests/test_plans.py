@@ -209,3 +209,40 @@ def test_cow_broadcast_plan_keeps_target_out_of_winner_exchange(
         "winner aggregation above the Union — target is being "
         f"aggregated again:\n{lp}"
     )
+
+
+def test_mor_read_columns_prunes_the_parquet_scan(spark, tmp_path):
+    """Column pruning through merge-on-read reconciliation: Catalyst
+    cannot prune through the winner aggregation's payload struct, so
+    read(columns=...) must push the projection to _read_files itself —
+    the scan of a delta-layered table asked for one field must read
+    that field + system cols only, never the html blobs."""
+    import re
+
+    from clinical_trials_etl_spark.cdc.replay import replay
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+
+    log = str(tmp_path / "wal")
+    write_changelog_segments(
+        spark, LogSpec(n_events=400, n_hosts=6, seed=9), log, n_segments=2
+    )
+    table = replay(spark, log, str(tmp_path / "tbl"), merge_mode="delta")
+
+    schemas = re.findall(r"ReadSchema: (\S+)",
+                         _plan(table.read(columns=["url"])))
+    assert schemas, "no parquet scan in plan"
+    for s in schemas:
+        assert "binary" not in s and "f_3" not in s, s  # html never read
+        assert "f_1:string" in s  # url
+    # ... while the unhinted path documents the limitation (full width)
+    full = re.findall(r"ReadSchema: (\S+)",
+                      _plan(table.read().select("url")))
+    assert any("binary" in s for s in full)
+
+    # value identity with the unpruned path, both shapes
+    a = sorted(tuple(r) for r in table.read(columns=["url", "language"]).collect())
+    b = sorted(tuple(r) for r in table.read().select("url", "language").collect())
+    assert a == b and a
