@@ -197,6 +197,15 @@ class LakeTable:
             json.dump(entry, f, indent=1)
         os.replace(tmp, path)
 
+    def _lineage_entry(self, version: int) -> dict | None:
+        """The single lineage entry for a commit, or None (v1 CREATE
+        and snapshot-expiry write no entry)."""
+        path = os.path.join(self.lineage_dir, f"lin-{version:08d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def lineage(self) -> list[dict]:
         """All lineage entries in commit order (reads the sidecar dir)."""
         if not os.path.isdir(self.lineage_dir):
@@ -325,7 +334,15 @@ class LakeTable:
             if missing:
                 raise ValueError(f"unknown columns: {sorted(missing)}")
             fields = [f for f in fields if f["name"] in set(columns)]
-        files = self.files(snap, buckets)
+        return self._read_entries(fields, self.files(snap, buckets))
+
+    def _read_entries(
+        self, fields: list[dict], files: list[dict]
+    ) -> DataFrame:
+        """Read an explicit file-entry list, projecting each
+        phys-signature group onto ``fields`` by field-id (the shared
+        body of snapshot reads and the change-feed's per-commit
+        manifest reads)."""
         out_struct = self._full_struct(fields)
         if not files:
             return self.spark.createDataFrame([], out_struct)
@@ -456,6 +473,135 @@ class LakeTable:
             .filter(~F.col(SYS_DELETED))
             .drop(SYS_LSN, SYS_DELETED)
         )
+
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        net: bool = True,
+    ) -> DataFrame:
+        """Change data feed (Delta CDF / Iceberg incremental-scan
+        analog): the net post-image row changes between two snapshots,
+        so a downstream consumer reads O(changes) — never re-scans the
+        table. Output = the data columns at ``to_version``'s schema
+        plus ``_lsn`` (long), ``_change_type`` ('upsert' | 'delete')
+        and ``_commit_version`` (long). Applying the feed to a copy of
+        the ``from_version`` state in commit order (last write per key
+        wins, 'delete' removes) reproduces the ``to_version`` state
+        exactly; maintenance commits (compaction, rebucket, schema
+        evolution) emit no rows because they change no logical state.
+
+        Cost model per merge commit in the range (the design-scale
+        story):
+
+        - the commit's own manifest lists exactly the files it wrote —
+          a delta-mode commit's layer files ARE the change rows
+          (O(batch) read); a COW commit's rewritten buckets carry
+          changed + carried-over rows and need a diff;
+        - the diff's pre-state is read COLUMN-PRUNED to
+          (key, lsn, deleted) over only the commit's touched buckets —
+          the pre-image html/text payloads never leave the parquet
+          scan. A row changed iff its (lsn, deleted) winner struct
+          strictly beats the pre-state's (lsn monotonicity of the
+          merge winner rule), so no payload compare is needed.
+
+        ``net=False`` skips the pre-state diff for delta-mode commits
+        and emits their layer rows as-is — the cheapest possible feed
+        (zero pre-reads), but it may include rows that lost to the
+        base state (late, lower-lsn arrivals). Consumers of the raw
+        feed must apply with the engine's max-(lsn, deleted) rule
+        rather than last-write-wins; net=True feeds are safe for both.
+
+        The feed is readable as far back as snapshot retention:
+        ``expire_snapshots`` removes old versions' files, after which
+        ``changes`` over that range raises (same window as time
+        travel). Reference analog: consumers of the reference's store
+        re-poll full collections (trials_extractor/storage/
+        mongodb_storage.py) — there is no incremental surface; this is
+        the Spark-native replacement."""
+        current = self.current_version()
+        if to_version is None:
+            to_version = current
+        if not (0 <= from_version <= to_version <= current):
+            raise ValueError(
+                f"invalid change range {from_version}..{to_version} "
+                f"(current version {current})")
+
+        to_snap = self.snapshot(to_version)
+        fields = self.fields(to_snap)
+        key = self.key_field(to_snap)
+        key_fld = [f for f in fields if f["name"] == key]
+
+        def _out(df: DataFrame, version: int) -> DataFrame:
+            return df.select(
+                *[F.col(f["name"]) for f in fields],
+                F.col(SYS_LSN).alias("_lsn"),
+                F.when(F.col(SYS_DELETED), F.lit("delete"))
+                .otherwise(F.lit("upsert")).alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+            )
+
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            lin = self._lineage_entry(v)
+            if lin is None or lin.get("type") != "merge":
+                continue  # maintenance/evolution: no logical change
+            with open(self._manifest_path(v)) as f:
+                man = json.load(f)
+            entries = [e for group in man["files"].values() for e in group]
+            if not entries:
+                continue
+            new = self._read_entries(fields, entries)
+            all_delta = all(e.get("delta") for e in entries)
+            if all_delta:
+                # layer rows are the change candidates; defensively
+                # collapse to one row per key (apply pre-dedups, so
+                # this is a batch-sized no-op aggregation)
+                new = self._winner_per_key(new, key)
+                if not net:
+                    parts.append(_out(new, v))
+                    continue
+            # diff vs the slim pre-state winner of the touched buckets:
+            # strictly-greater (lsn, deleted) == the row changed
+            touched = set(
+                lin.get("touched_buckets")
+                or {e["bucket"] for e in entries})
+            pre = self._read_entries(
+                key_fld, self.files(self.snapshot(v - 1), touched))
+            pre_w = (
+                pre.groupBy(key)
+                .agg(F.max(F.struct(SYS_LSN, SYS_DELETED)).alias("_w"))
+                .select(
+                    F.col(key),
+                    F.col(f"_w.{SYS_LSN}").alias("_pre_lsn"),
+                    F.col(f"_w.{SYS_DELETED}").alias("_pre_del"),
+                )
+            )
+            beats_pre = (
+                F.col("_pre_lsn").isNull()
+                | (F.struct(F.col(SYS_LSN), F.col(SYS_DELETED))
+                   > F.struct(F.col("_pre_lsn"), F.col("_pre_del")))
+            )
+            changed = (
+                new.join(pre_w, key, "left")
+                .where(beats_pre)
+                .drop("_pre_lsn", "_pre_del")
+            )
+            parts.append(_out(changed, v))
+
+        if not parts:
+            schema = T.StructType(
+                [T.StructField(f["name"], _spark_type(f["type"]))
+                 for f in fields]
+                + [T.StructField("_lsn", T.LongType()),
+                   T.StructField("_change_type", T.StringType()),
+                   T.StructField("_commit_version", T.LongType())]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ----------------------------------------------------- maintenance
 

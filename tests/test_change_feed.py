@@ -1,0 +1,222 @@
+"""Change-data-feed tests (LakeTable.changes): the incremental read
+surface downstream consumers use instead of re-scanning the table.
+
+Contract under test: folding ``changes(a, b)`` onto a copy of the
+version-``a`` state (commit order, last write per key wins, 'delete'
+removes) reproduces the version-``b`` state exactly — across COW and
+delta commits, redeliveries, out-of-order arrivals, maintenance
+commits, and schema renames. Reference analog: the reference store has
+no incremental surface at all (consumers re-poll full collections,
+trials_extractor/storage/mongodb_storage.py) — SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_trials_etl_spark.lake.table import LakeTable
+
+FIELDS = [
+    {"id": 1, "name": "url", "type": "string"},
+    {"id": 2, "name": "val", "type": "string"},
+]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, val string, lsn long, op string")
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """A table exercising every feed-relevant commit shape:
+
+    v1 cow  : 3 inserts
+    v2 cow  : update u1, delete u2, redeliver u3 (same lsn -> no change)
+    v3 delta: insert u4 + STALE out-of-order update to u1 (lsn 5 < 10)
+    v4      : compaction (no logical change)
+    v5 cow  : resurrect u2, update u4
+    v6      : rebucket 4 -> 8 (no logical change)
+    v7 delta: delete u3
+    """
+    root = str(tmp_path_factory.mktemp("cdf") / "t")
+    t = LakeTable.create(spark, root, FIELDS, "url", n_buckets=4)
+    t.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I"),
+                           ("u3", "c", 3, "I")]), batch_id="e-1")
+    t.merge(_batch(spark, [("u1", "a2", 10, "U"), ("u2", None, 11, "D"),
+                           ("u3", "c", 3, "I")]), batch_id="e-2")
+    t.merge(_batch(spark, [("u4", "d", 20, "I"), ("u1", "stale", 5, "U")]),
+            batch_id="e-3", mode="delta")
+    t.compact()
+    t.merge(_batch(spark, [("u2", "b2", 30, "I"), ("u4", "d2", 31, "U")]),
+            batch_id="e-4")
+    t.rebucket(8)
+    t.merge(_batch(spark, [("u3", None, 40, "D")]),
+            batch_id="e-5", mode="delta")
+    return t
+
+
+def _fold(rows):
+    state: dict[str, str] = {}
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] == "delete":
+            state.pop(r["url"], None)
+        else:
+            state[r["url"]] = r["val"]
+    return state
+
+
+def test_fold_reproduces_final_state(table):
+    folded = _fold(table.changes(0).collect())
+    final = {r["url"]: r["val"] for r in table.read().collect()}
+    assert folded == final
+    assert final == {"u1": "a2", "u2": "b2", "u4": "d2"}
+
+
+def test_fold_from_any_midpoint(table):
+    cur = table.current_version()
+    for start in range(cur + 1):
+        state = {r["url"]: r["val"]
+                 for r in table.read(version=start).collect()}
+        for r in sorted(table.changes(start).collect(),
+                        key=lambda r: r["_commit_version"]):
+            if r["_change_type"] == "delete":
+                state.pop(r["url"], None)
+            else:
+                state[r["url"]] = r["val"]
+        assert state == {"u1": "a2", "u2": "b2", "u4": "d2"}, start
+
+
+def test_per_commit_net_changes(table):
+    def keyed(v):
+        return {(r["url"], r["_change_type"])
+                for r in table.changes(v - 1, v).collect()}
+
+    assert keyed(1) == {("u1", "upsert"), ("u2", "upsert"),
+                        ("u3", "upsert")}
+    # redelivered u3 (same lsn) is NOT a change
+    assert keyed(2) == {("u1", "upsert"), ("u2", "delete")}
+    # stale out-of-order update to u1 lost to the base -> not a change
+    assert keyed(3) == {("u4", "upsert")}
+    assert keyed(4) == set()          # compaction
+    assert keyed(5) == {("u2", "upsert"), ("u4", "upsert")}
+    assert keyed(6) == set()          # rebucket
+    assert keyed(7) == {("u3", "delete")}
+
+
+def test_raw_feed_includes_losers_but_folds_under_max_lsn(table):
+    net = table.changes(2, 3).collect()
+    raw = table.changes(2, 3, net=False).collect()
+    assert {r["url"] for r in net} == {"u4"}
+    assert {r["url"] for r in raw} == {"u4", "u1"}  # the stale row rides
+    # a max-lsn consumer (the documented raw-feed contract) converges
+    state = {r["url"]: (r["_lsn"], r["val"])
+             for r in table.read_raw().collect()
+             if r["url"] in ("u1", "u4")}
+    for r in raw:
+        cur = state.get(r["url"])
+        if cur is None or r["_lsn"] > cur[0]:
+            state[r["url"]] = (r["_lsn"], r["val"])
+    assert state["u1"][1] == "a2"     # stale row did not win
+
+
+def test_change_rows_carry_lsn_and_version(table):
+    rows = {r["url"]: r for r in table.changes(4, 5).collect()}
+    assert rows["u2"]["_lsn"] == 30
+    assert rows["u2"]["_commit_version"] == 5
+    assert rows["u4"]["_lsn"] == 31
+
+
+def test_empty_and_invalid_ranges(table):
+    assert table.changes(3, 3).count() == 0
+    cur = table.current_version()
+    assert table.changes(cur).count() == 0
+    with pytest.raises(ValueError):
+        table.changes(5, 2)
+    with pytest.raises(ValueError):
+        table.changes(0, cur + 1)
+    # empty result still has the full feed schema
+    cols = table.changes(3, 3).columns
+    assert cols == ["url", "val", "_lsn", "_change_type",
+                    "_commit_version"]
+
+
+def test_pre_state_diff_scan_is_column_pruned(spark, tmp_path):
+    """The COW diff reads the pre-state slim: only the key's physical
+    column + system cols cross the parquet scan — a change feed over a
+    table of html blobs must never re-read the blobs of the pre-image."""
+    fields = FIELDS + [{"id": 3, "name": "html", "type": "binary"}]
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields, "url",
+                         n_buckets=2)
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "url string, val string, html binary, lsn long, op string")
+
+    t.merge(b([("u1", "a", b"x" * 64, 1, "I"),
+               ("u2", "b", b"y" * 64, 2, "I")]), batch_id="e-1")
+    t.merge(b([("u1", "a2", b"z" * 64, 9, "U")]), batch_id="e-2")
+
+    plan = (t.changes(1, 2)._jdf.queryExecution().executedPlan().toString())
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas
+    slim = [s for s in schemas if "f_3" not in s and "f_2" not in s]
+    assert slim, f"no slim pre-state scan in plan: {schemas}"
+    for s in slim:
+        assert "f_1:string" in s
+
+
+def test_rename_mid_range_feed_uses_current_names(spark, tmp_path):
+    """Schema rename between commits: the feed projects every commit's
+    rows to the to_version schema by field-id, so pre-rename rows come
+    back under the new column name."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    t.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    t.evolve([{"id": 1, "name": "url", "type": "string"},
+              {"id": 2, "name": "value", "type": "string"}],
+             note="rename val->value")
+    src = spark.createDataFrame(
+        [("u2", "b", 2, "I")], "url string, value string, lsn long, op string")
+    t.merge(src, batch_id="e-2")
+
+    ch = t.changes(0)
+    assert "value" in ch.columns and "val" not in ch.columns
+    rows = {r["url"]: r["value"] for r in ch.collect()
+            if r["_change_type"] == "upsert"}
+    assert rows == {"u1": "a", "u2": "b"}
+
+
+def test_chained_incremental_pipeline(spark, tmp_path):
+    """The consumer story: a downstream per-val count table maintained
+    purely from the feed (polling changes(last_seen, cur) after each
+    upstream commit) matches a full recompute from read() — reading
+    O(changes) per poll, never the upstream table."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=4)
+    batches = [
+        [("u%d" % i, "g%d" % (i % 3), i, "I") for i in range(1, 21)],
+        [("u1", "g0", 100, "U"), ("u2", None, 101, "D")],
+        [("u3", "g1", 200, "U"), ("u21", "g2", 201, "I")],
+    ]
+    downstream: dict[str, str] = {}   # url -> val (the consumer's mirror)
+    last_seen = 0
+    for i, rows in enumerate(batches):
+        t.merge(_batch(spark, rows), batch_id=f"e-{i}",
+                mode="delta" if i == 1 else "cow")
+        cur = t.current_version()
+        for r in t.changes(last_seen, cur).collect():
+            if r["_change_type"] == "delete":
+                downstream.pop(r["url"], None)
+            else:
+                downstream[r["url"]] = r["val"]
+        last_seen = cur
+    got = {}
+    for v in downstream.values():
+        got[v] = got.get(v, 0) + 1
+    exp = {r["val"]: r["n"] for r in
+           t.read().groupBy("val").agg(F.count("*").alias("n")).collect()}
+    assert got == exp
