@@ -479,6 +479,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         net: bool = True,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Change data feed (Delta CDF / Iceberg incremental-scan
         analog): the net post-image row changes between two snapshots,
@@ -505,6 +506,11 @@ class LakeTable:
           strictly beats the pre-state's (lsn monotonicity of the
           merge winner rule), so no payload compare is needed.
 
+        ``columns`` prunes the feed to a field subset AT THE SCAN (the
+        key always rides along) — same seam as ``read(columns=...)``
+        and for the same reason: the delta path's winner aggregation
+        blocks Catalyst from pruning through its payload struct.
+
         ``net=False`` skips the pre-state diff for delta-mode commits
         and emits their layer rows as-is — the cheapest possible feed
         (zero pre-reads), but it may include rows that lost to the
@@ -530,6 +536,14 @@ class LakeTable:
         to_snap = self.snapshot(to_version)
         fields = self.fields(to_snap)
         key = self.key_field(to_snap)
+        if columns is not None:
+            # prune at the scan, same seam as read(columns=...): the
+            # delta path's winner aggregation blocks Catalyst pruning
+            wanted = set(columns) | {key}
+            missing = wanted - {f["name"] for f in fields}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            fields = [f for f in fields if f["name"] in wanted]
         key_fld = [f for f in fields if f["name"] == key]
 
         def _out(df: DataFrame, version: int) -> DataFrame:
