@@ -1,0 +1,127 @@
+"""Change-data-feed cost evidence: what a downstream consumer pays per
+poll with the feed vs without it, as the table grows.
+
+Builds a pages table by replaying a base log, then applies ONE small
+incremental batch and times, at several base sizes:
+
+- feed        : changes(v, v+1) consume (count+collect of the net rows)
+- full_scan   : read() full-table consume — the no-CDF consumer's poll
+- mirror_sync : end-to-end downstream apply of the same window
+                (feed read + mirror MERGE commit)
+
+The claim under test is asymptotic, not constant: feed cost tracks the
+BATCH size while the full scan tracks the TABLE size, so the ratio
+must widen as the base grows. Run on a quiet host (canary protocol as
+in bench_scaling.py); archive with BENCH/cdf_run_*.json.
+
+Usage: python BENCH/exp_cdf.py [--cores 16] [--bases 50000,200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from clinical_trials_etl_spark.session import get_spark  # noqa: E402
+from clinical_trials_etl_spark.cdc.mirror import (  # noqa: E402
+    create_mirror,
+    sync_mirror,
+)
+from clinical_trials_etl_spark.cdc.replay import replay  # noqa: E402
+from clinical_trials_etl_spark.datagen.changelog import (  # noqa: E402
+    LogSpec,
+    write_changelog_segments,
+)
+
+INC_EVENTS = 4_000
+
+
+def one_leg(spark, base_events: int, mode: str) -> dict:
+    work = tempfile.mkdtemp(prefix=f"cdf_{base_events}_")
+    # base load: one log; incremental: a second log phase whose lsns
+    # continue after the base (lsn_offset), same key space so the
+    # batch UPDATES existing rows (the worst case for COW diffing)
+    base_spec = LogSpec(n_events=base_events,
+                        n_hosts=max(50, base_events // 200), seed=11)
+    write_changelog_segments(spark, base_spec, f"{work}/base",
+                             n_segments=8)
+    # same seed => same url universe, so the increment is a realistic
+    # mix of updates to existing keys and fresh inserts; lsn_offset
+    # keeps its lsns strictly after the base phase
+    inc_spec = LogSpec(n_events=INC_EVENTS,
+                       n_hosts=max(50, base_events // 200), seed=11,
+                       lsn_offset=base_events * 4)
+    write_changelog_segments(spark, inc_spec, f"{work}/inc",
+                             n_segments=1)
+
+    table = replay(spark, f"{work}/base", f"{work}/table",
+                   segments_per_batch=2, batch_prefix="base",
+                   merge_mode=mode)
+    v_base = table.current_version()
+
+    # a mirror already caught up to the base (the steady-state consumer)
+    mirror = create_mirror(spark, table, f"{work}/mirror")
+    sync_mirror(table, mirror)
+
+    replay(spark, f"{work}/inc", f"{work}/table",
+           batch_prefix="inc", merge_mode=mode)
+    v_cur = table.current_version()
+
+    # both consumers actually read the text payloads (a bare count()
+    # would collapse to a parquet footer count and time nothing)
+    def consume(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("b")).collect()[0]
+        return row["n"]
+
+    t0 = time.monotonic()
+    feed_rows = consume(table.changes(v_base, v_cur))
+    t_feed = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    table_rows = consume(table.read())
+    t_scan = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    stats = sync_mirror(table, mirror)
+    t_sync = time.monotonic() - t0
+
+    return {
+        "base_events": base_events,
+        "inc_events": INC_EVENTS,
+        "mode": mode,
+        "table_rows": table_rows,
+        "feed_rows": feed_rows,
+        "mirror_rows_merged": stats["rows"],
+        "feed_sec": round(t_feed, 3),
+        "full_scan_sec": round(t_scan, 3),
+        "mirror_sync_sec": round(t_sync, 3),
+        "scan_over_feed": round(t_scan / t_feed, 2) if t_feed else None,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--bases", default="50000,200000")
+    ap.add_argument("--modes", default="cow,delta")
+    args = ap.parse_args()
+    spark = get_spark(cores=args.cores)
+    legs = [
+        one_leg(spark, int(b), m)
+        for b in args.bases.split(",")
+        for m in args.modes.split(",")
+    ]
+    print(json.dumps({"cores": args.cores, "legs": legs}))
+
+
+if __name__ == "__main__":
+    main()
