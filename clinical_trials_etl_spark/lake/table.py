@@ -565,6 +565,12 @@ class LakeTable:
             entries = [e for group in man["files"].values() for e in group]
             if not entries:
                 continue
+            gone = sum(1 for e in entries if not os.path.exists(e["path"]))
+            if gone:
+                raise ValueError(
+                    f"change feed for commit v{v} is no longer readable: "
+                    f"{gone} of its data files were removed by "
+                    f"expire_snapshots — start from a retained version")
             new = self._read_entries(fields, entries)
             all_delta = all(e.get("delta") for e in entries)
             if all_delta:
