@@ -327,8 +327,48 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test corpus split (90/5/5) by hashing
+    the DOCUMENT ID, never by position or random() — the property a
+    training pipeline needs at 100 TB: the same doc lands in the same
+    split on any cluster size, any partitioning, any re-run, and new
+    docs join a split without reshuffling old ones. Hash = first 4 hex
+    chars of md5 (uniform on 0..65535), mod 100 against fixed
+    thresholds; md5 is identical in Spark and DuckDB, so the oracle is
+    value-exact. JVM-only expressions — rides whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10)
+        .cast("int") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    ).orderBy("doc_id")
+
+
+SQL_CORPUS_SPLIT = """
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS split_bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 100 AS bucket
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "text_corpus_split": (q_corpus_split, SQL_CORPUS_SPLIT),
     "text_quality_score": (q_quality_score, SQL_QUALITY),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
