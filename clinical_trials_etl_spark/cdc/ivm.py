@@ -1,0 +1,353 @@
+"""Incremental view maintenance: a materialized group-by aggregate
+over a LakeTable, kept current from the pre/post-image change feed
+instead of recomputed from the base table.
+
+The classic counting algorithm (Gupta/Mumick/Subrahmanian, SIGMOD '93)
+expressed over ``LakeTable.changes(pre_images=True)``: every change row
+carries a sign (+1 for ``insert``/``update_postimage``, -1 for
+``update_preimage``/``delete``), so for the self-maintainable aggregate
+family — COUNT, COUNT(col), SUM, AVG — the signed per-group totals of a
+feed window ARE the aggregate deltas between its endpoint snapshots
+(per-commit pre-images equal the previous commit's post-images, so
+contributions telescope across any multi-commit window). A refresh is
+
+    O(|changes|) feed read + O(touched view buckets) state update
+
+regardless of base-table size — at design scale, maintaining per-host
+page counts over a 10^11-row page table costs each poll only the rows
+that changed, never a table scan. MIN/MAX are deliberately absent:
+they are not self-maintainable under deletion (a deleted row that held
+the max forces a base-table rescan of its group) — recompute those
+from ``source.read()`` instead of pretending.
+
+The view is itself a LakeTable keyed by a synthetic group key, so the
+consumed-source-version offset is the view's own ``batch_hwm`` for the
+``ivm-<version>`` batch prefix — committed atomically with the state
+update (the same exactly-once-by-construction mechanism as
+cdc/mirror.py): a crash between "applied the deltas" and "recorded the
+offset" is unrepresentable, and a redelivered refresh is a metadata
+no-op. Groups whose row count reaches zero are tombstoned (they
+disappear from reads), matching what a recompute would produce.
+
+Reference analog: the reference recomputes every analytics aggregate
+from full collection scans on each poll
+(trials_extractor/storage/mongodb_storage.py:154-245,
+st_trial_analytics.py) — this module is the incremental replacement
+for that polling pattern.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_trials_etl_spark.lake.table import LakeTable
+
+_PREFIX = "ivm-"
+_GK = "_gk"
+_SPEC_FILE = "_ivm_spec.json"
+
+# aggregate kinds and the state columns each maintains
+_KINDS = ("count", "count_col", "sum", "avg")
+
+_INT_TYPES = {"int", "integer", "long", "bigint", "short", "smallint"}
+_NUMERIC_TYPES = _INT_TYPES | {"float", "double", "real"}
+
+
+def _group_key(group_cols: list[str]) -> F.Column:
+    """Deterministic single-string key for a group tuple. NULL is
+    distinguished from every string value by construction: values get
+    a ``v`` prefix, NULL maps to a bare ``\\x00`` (which no prefixed
+    value can equal), and columns join on the \\x1f unit separator."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x00"))
+        .otherwise(F.concat(F.lit("v"), F.col(c).cast("string")))
+        for c in group_cols
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
+def _state_fields(spec: dict, source_fields: list[dict]) -> list[dict]:
+    """Physical schema of the view table: the group columns plus one
+    (or two, for AVG) state columns per aggregate."""
+    src_type = {f["name"]: f["type"] for f in source_fields}
+    fields: list[dict] = [{"name": _GK, "type": "string"}]
+    for c in spec["group_cols"]:
+        fields.append({"name": c, "type": src_type[c]})
+    for kind, col, alias in spec["aggs"]:
+        if kind == "count":
+            fields.append({"name": alias, "type": "long"})
+        elif kind == "count_col":
+            fields.append({"name": alias, "type": "long"})
+        elif kind in ("sum", "avg"):
+            if src_type[col] not in _NUMERIC_TYPES:
+                raise ValueError(
+                    f"{kind}({col!r}) needs a numeric column, got "
+                    f"{src_type[col]!r}")
+            t = "long" if src_type[col] in _INT_TYPES else "double"
+            fields.append({"name": f"__sum_{alias}", "type": t})
+            fields.append({"name": f"__n_{alias}", "type": "long"})
+        else:
+            raise ValueError(f"unsupported aggregate kind {kind!r} "
+                             f"(supported: {_KINDS}; MIN/MAX are not "
+                             f"self-maintainable under deletes)")
+    return [{"id": i + 1, **f} for i, f in enumerate(fields)]
+
+
+def _contribs(spec: dict, w: F.Column,
+              cur_of: dict[str, str] | None = None) -> list[F.Column]:
+    """Signed per-row contributions to each state column (the feed's
+    sign column ``w`` is +1 or -1). NULL values contribute 0 — the sum
+    state therefore matches SQL SUM/AVG null-skipping exactly.
+    ``cur_of`` maps spec column names to the source's current names
+    (they diverge after a rename)."""
+    cur_of = cur_of or {}
+    out: list[F.Column] = []
+    for kind, col, alias in spec["aggs"]:
+        c = F.col(cur_of.get(col, col)) if col is not None else None
+        if kind == "count":
+            out.append(w.alias(alias))
+        elif kind == "count_col":
+            out.append(
+                F.when(c.isNotNull(), w).otherwise(F.lit(0))
+                .alias(alias))
+        elif kind in ("sum", "avg"):
+            out.append(
+                F.when(c.isNotNull(), w * c)
+                .otherwise(F.lit(0)).alias(f"__sum_{alias}"))
+            out.append(
+                F.when(c.isNotNull(), w).otherwise(F.lit(0))
+                .alias(f"__n_{alias}"))
+    return out
+
+
+def _state_cols(spec: dict) -> list[str]:
+    cols: list[str] = []
+    for kind, _col, alias in spec["aggs"]:
+        if kind in ("sum", "avg"):
+            cols += [f"__sum_{alias}", f"__n_{alias}"]
+        else:
+            cols.append(alias)
+    return cols
+
+
+def _value_cols(spec: dict) -> list[str]:
+    return sorted({c for _k, c, _a in spec["aggs"] if c is not None})
+
+
+def create_agg_view(
+    spark: SparkSession,
+    source: LakeTable,
+    root: str,
+    group_cols: list[str],
+    aggs: list[tuple[str, str | None, str]],
+    n_buckets: int = 4,
+) -> LakeTable:
+    """A fresh empty materialized aggregate view of ``source``.
+
+    ``aggs``: list of ``(kind, column, alias)`` with kind one of
+    ``count`` (rows; column ignored), ``count_col`` (non-null count),
+    ``sum``, ``avg``. The first ``refresh_agg_view`` bootstraps from
+    ``changes(0, cur)`` — the full feed IS the initial state, so there
+    is no separate backfill path to keep consistent."""
+    src_fields = {f["name"] for f in source.fields()}
+    missing = (set(group_cols) | set(_value_cols(
+        {"aggs": aggs}))) - src_fields
+    if missing:
+        raise ValueError(f"unknown source columns: {sorted(missing)}")
+    aliases = [a for _k, _c, a in aggs]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError("duplicate aggregate aliases")
+    _count_alias({"aggs": aggs})  # liveness count required up front
+    # pin source columns by FIELD ID, not name: the lake's schema
+    # evolution renames by id (cdc/registry.py), and the view must
+    # keep tracking a renamed column (same seam as cdc/mirror.py)
+    id_of = {f["name"]: f["id"] for f in source.fields()}
+    spec = {"group_cols": list(group_cols),
+            "group_ids": [id_of[c] for c in group_cols],
+            "aggs": [list(a) for a in aggs],
+            "col_ids": {c: id_of[c] for c in _value_cols(
+                {"aggs": aggs})}}
+    view = LakeTable.create(
+        spark, root,
+        fields=_state_fields(spec, source.fields()),
+        key_field=_GK, n_buckets=n_buckets)
+    with open(os.path.join(root, _SPEC_FILE), "w") as f:
+        json.dump(spec, f)
+    return view
+
+
+def _load_spec(view: LakeTable) -> dict:
+    with open(os.path.join(view.root, _SPEC_FILE)) as f:
+        spec = json.load(f)
+    spec["aggs"] = [tuple(a) for a in spec["aggs"]]
+    return spec
+
+
+def last_refreshed(view: LakeTable) -> int:
+    """Source version this view reflects; -1 before the first refresh."""
+    return int(view.snapshot()["batch_hwm"].get(_PREFIX, -1))
+
+
+def refresh_agg_view(
+    source: LakeTable,
+    view: LakeTable,
+    to_version: int | None = None,
+) -> dict:
+    """Advance the view to the source's ``to_version`` (default:
+    current) by applying the signed pre/post-image feed.
+
+    One column-pruned feed read (only the group + value columns cross
+    the scan), one batch-sized delta aggregation, one state update
+    restricted to the view buckets the delta touches, one view merge —
+    never a base-table scan."""
+    spec = _load_spec(view)
+    cur = source.current_version()
+    if to_version is None:
+        to_version = cur
+    start = max(last_refreshed(view), 0)
+    if to_version <= start:
+        return {"skipped": True, "from": start, "to": start, "groups": 0}
+
+    # resolve the spec's pinned field ids against the source's
+    # to_version schema — the feed comes back under to_version's
+    # names, which a rename may have changed since view creation
+    src_by_id = {f["id"]: f["name"]
+                 for f in source.fields(source.snapshot(to_version))}
+    gone = ([i for i in spec["group_ids"] if i not in src_by_id]
+            + [i for i in spec["col_ids"].values() if i not in src_by_id])
+    if gone:
+        raise ValueError(
+            f"source dropped field ids {sorted(set(gone))} the view "
+            f"aggregates over — recreate the view")
+    cur_groups = [src_by_id[i] for i in spec["group_ids"]]
+    cur_of = {c: src_by_id[i] for c, i in spec["col_ids"].items()}
+
+    feed = source.changes(
+        start, to_version, pre_images=True,
+        columns=sorted(set(cur_groups) | set(cur_of.values())))
+    w = (F.when(F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1)).otherwise(F.lit(-1)))
+    state_cols = _state_cols(spec)
+    delta = (
+        feed.select(
+            _group_key(cur_groups).alias(_GK),
+            *[F.col(cur).alias(c) for c, cur in
+              zip(spec["group_cols"], cur_groups)],
+            *_contribs(spec, w, cur_of))
+        .groupBy(_GK)
+        .agg(*[F.any_value(F.col(c), True).alias(c)
+               for c in spec["group_cols"]],
+             *[F.sum(c).cast(t).alias(c)
+               for c, t in zip(state_cols, _types(spec, view))])
+        # an update whose images cancel on every maintained column
+        # (e.g. a value column outside the spec changed) is a no-op
+        .where(" or ".join(f"`{c}` != 0" for c in state_cols))
+    )
+    # prune the state read to the view buckets the delta touches —
+    # bounded driver metadata (≤ n_buckets ints), the same pruning
+    # seam as LakeTable.lookup
+    touched = {
+        r["b"] for r in
+        delta.select(view.bucket_expr(F.col(_GK)).alias("b"))
+        .distinct().collect()
+    }
+    if not touched:
+        # still record the consumed offset so the next poll is O(new)
+        view.merge(
+            view.spark.createDataFrame(
+                [], _merge_schema(spec, view)),
+            batch_id=f"{_PREFIX}{to_version}",
+            lineage={"source_versions": [start, to_version]},
+            source_unique=True)
+        return {"skipped": False, "from": start, "to": to_version,
+                "groups": 0}
+    prev = (
+        view.read_raw(touched)
+        .where(~F.col("_deleted"))
+        .select(_GK, *spec["group_cols"], *state_cols)
+    )
+    # union + re-sum instead of an outer join: one narrow aggregation
+    # over (touched state ∪ delta), no build-side choice to get wrong
+    merged = (
+        prev.unionByName(delta)
+        .groupBy(_GK)
+        .agg(*[F.any_value(F.col(c), True).alias(c)
+               for c in spec["group_cols"]],
+             *[F.sum(c).cast(t).alias(c)
+               for c, t in zip(state_cols, _types(spec, view))])
+    )
+    count_alias = _count_alias(spec)
+    src = merged.select(
+        F.col(_GK),
+        *[F.col(c) for c in spec["group_cols"]],
+        *[F.col(c) for c in state_cols],
+        F.lit(to_version).cast("long").alias("lsn"),
+        F.when(F.col(count_alias) <= 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    stats = view.merge(
+        src, batch_id=f"{_PREFIX}{to_version}",
+        lineage={"source_versions": [start, to_version]},
+        touched_hint=touched,
+        source_unique=True)
+    return {"skipped": stats.get("skipped", False), "from": start,
+            "to": to_version, "groups": stats.get("merged_rows", 0)}
+
+
+def _count_alias(spec: dict) -> str:
+    """The state column that carries the group's live row count (used
+    to detect emptied groups). A bare COUNT agg provides it; otherwise
+    one is implied — create_agg_view requires at least one count."""
+    for kind, _c, alias in spec["aggs"]:
+        if kind == "count":
+            return alias
+    raise ValueError(
+        "the view needs a ('count', None, alias) aggregate — it is "
+        "the liveness signal that retires emptied groups")
+
+
+def _types(spec: dict, view: LakeTable) -> list[str]:
+    by_name = {f["name"]: f["type"] for f in view.fields()}
+    return [by_name[c] for c in _state_cols(spec)]
+
+
+def _merge_schema(spec: dict, view: LakeTable):
+    import pyspark.sql.types as T
+    m = {"string": T.StringType(), "long": T.LongType(),
+         "double": T.DoubleType(), "int": T.IntegerType(),
+         "boolean": T.BooleanType(), "timestamp": T.TimestampType()}
+    fields = [T.StructField(f["name"], m.get(f["type"], T.StringType()))
+              for f in view.fields()]
+    fields += [T.StructField("lsn", T.LongType()),
+               T.StructField("op", T.StringType())]
+    return T.StructType(fields)
+
+
+def read_agg_view(view: LakeTable) -> DataFrame:
+    """The maintained aggregate as a user-facing DataFrame: group
+    columns + one column per aggregate alias (AVG computed from its
+    sum/count state at read time, NULL for all-null groups — matching
+    SQL AVG)."""
+    spec = _load_spec(view)
+    df = view.read()
+    cols = [F.col(c) for c in spec["group_cols"]]
+    for kind, _c, alias in spec["aggs"]:
+        if kind == "avg":
+            n = F.col(f"__n_{alias}")
+            cols.append(
+                F.when(n > 0,
+                       F.col(f"__sum_{alias}").cast("double") / n)
+                .alias(alias))
+        elif kind == "sum":
+            # SQL SUM of an all-null group is NULL, not 0 — the
+            # non-null counter state distinguishes the two
+            cols.append(
+                F.when(F.col(f"__n_{alias}") > 0,
+                       F.col(f"__sum_{alias}")).alias(alias))
+        else:
+            cols.append(F.col(alias))
+    return df.select(*cols)

@@ -480,6 +480,7 @@ class LakeTable:
         to_version: int | None = None,
         net: bool = True,
         columns: list[str] | None = None,
+        pre_images: bool = False,
     ) -> DataFrame:
         """Change data feed (Delta CDF / Iceberg incremental-scan
         analog): the net post-image row changes between two snapshots,
@@ -518,6 +519,21 @@ class LakeTable:
         feed must apply with the engine's max-(lsn, deleted) rule
         rather than last-write-wins; net=True feeds are safe for both.
 
+        ``pre_images=True`` switches to Delta-CDF image semantics: an
+        update emits BOTH its old row (``_change_type =
+        'update_preimage'``, values and ``_lsn`` from the pre-state)
+        and its new row (``'update_postimage'``); a first write emits
+        ``'insert'``; a delete emits one ``'delete'`` row carrying the
+        OLD values (a tombstone for a key that was not live emits
+        nothing). Because each commit's pre-image equals the previous
+        commit's post-image, signed contributions telescope across a
+        multi-commit window — the property incremental aggregate
+        maintenance needs (cdc/ivm.py): sum(+post, -pre) over any
+        window equals the aggregate delta between its endpoint
+        snapshots. Costs one wide pre-state read per commit (prune it
+        with ``columns`` — aggregates only need their grouping/value
+        fields). Requires ``net=True``.
+
         The feed is readable as far back as snapshot retention:
         ``expire_snapshots`` removes old versions' files, after which
         ``changes`` over that range raises (same window as time
@@ -532,6 +548,9 @@ class LakeTable:
             raise ValueError(
                 f"invalid change range {from_version}..{to_version} "
                 f"(current version {current})")
+        if pre_images and not net:
+            raise ValueError("pre_images requires the net feed "
+                             "(raw layer rows have no pre-state)")
 
         to_snap = self.snapshot(to_version)
         fields = self.fields(to_snap)
@@ -581,33 +600,73 @@ class LakeTable:
                 if not net:
                     parts.append(_out(new, v))
                     continue
-            # diff vs the slim pre-state winner of the touched buckets:
+            # diff vs the pre-state winner of the touched buckets:
             # strictly-greater (lsn, deleted) == the row changed
             touched = set(
                 lin.get("touched_buckets")
                 or {e["bucket"] for e in entries})
-            pre = self._read_entries(
-                key_fld, self.files(self.snapshot(v - 1), touched))
-            pre_w = (
-                pre.groupBy(key)
-                .agg(F.max(F.struct(SYS_LSN, SYS_DELETED)).alias("_w"))
-                .select(
+            pre_entries = self.files(self.snapshot(v - 1), touched)
+            if pre_images:
+                # wide pre-state: the requested value columns ride
+                # along so pre-image rows can be emitted
+                pre_w = self._winner_per_key(
+                    self._read_entries(fields, pre_entries), key
+                ).select(
                     F.col(key),
-                    F.col(f"_w.{SYS_LSN}").alias("_pre_lsn"),
-                    F.col(f"_w.{SYS_DELETED}").alias("_pre_del"),
+                    *[F.col(f["name"]).alias(f"_pre_{f['name']}")
+                      for f in fields if f["name"] != key],
+                    F.col(SYS_LSN).alias("_pre_lsn"),
+                    F.col(SYS_DELETED).alias("_pre_del"),
                 )
-            )
+            else:
+                # slim pre-state: only (key, lsn, deleted) cross the
+                # scan — no payload compare is needed for the diff
+                pre_w = (
+                    self._read_entries(key_fld, pre_entries)
+                    .groupBy(key)
+                    .agg(F.max(F.struct(SYS_LSN, SYS_DELETED))
+                         .alias("_w"))
+                    .select(
+                        F.col(key),
+                        F.col(f"_w.{SYS_LSN}").alias("_pre_lsn"),
+                        F.col(f"_w.{SYS_DELETED}").alias("_pre_del"),
+                    )
+                )
             beats_pre = (
                 F.col("_pre_lsn").isNull()
                 | (F.struct(F.col(SYS_LSN), F.col(SYS_DELETED))
                    > F.struct(F.col("_pre_lsn"), F.col("_pre_del")))
             )
-            changed = (
-                new.join(pre_w, key, "left")
-                .where(beats_pre)
-                .drop("_pre_lsn", "_pre_del")
-            )
-            parts.append(_out(changed, v))
+            changed = new.join(pre_w, key, "left").where(beats_pre)
+            if not pre_images:
+                parts.append(
+                    _out(changed.drop("_pre_lsn", "_pre_del"), v))
+                continue
+            pre_live = (F.col("_pre_lsn").isNotNull()
+                        & ~F.col("_pre_del"))
+            ver = F.lit(v).cast("long").alias("_commit_version")
+            # post-side rows: the new live values
+            parts.append(
+                changed.where(~F.col(SYS_DELETED)).select(
+                    *[F.col(f["name"]) for f in fields],
+                    F.col(SYS_LSN).alias("_lsn"),
+                    F.when(pre_live, F.lit("update_postimage"))
+                    .otherwise(F.lit("insert")).alias("_change_type"),
+                    ver,
+                ))
+            # pre-side rows: the superseded live values (a tombstone
+            # for a key that was not live emits nothing)
+            parts.append(
+                changed.where(pre_live).select(
+                    F.col(key),
+                    *[F.col(f"_pre_{f['name']}").alias(f["name"])
+                      for f in fields if f["name"] != key],
+                    F.col("_pre_lsn").alias("_lsn"),
+                    F.when(F.col(SYS_DELETED), F.lit("delete"))
+                    .otherwise(F.lit("update_preimage"))
+                    .alias("_change_type"),
+                    ver,
+                ))
 
         if not parts:
             schema = T.StructType(

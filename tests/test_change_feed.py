@@ -296,3 +296,84 @@ def test_randomized_fold_equivalence(spark, tmp_path):
             else:
                 state[r["url"]] = r["val"]
         assert state == expected, f"fold from v{start} diverged"
+
+
+# ---------------------------------------------------------- pre-images
+
+
+SIGN = {"insert": 1, "update_postimage": 1,
+        "update_preimage": -1, "delete": -1}
+
+
+def test_pre_image_feed_exact_rows(table):
+    """Delta-CDF image semantics over every commit shape the module
+    fixture exercises: update -> pre+post pair, delete -> one row with
+    the OLD values, resurrect-after-delete -> insert (no live
+    pre-state), stale/redelivered/maintenance commits -> nothing."""
+    rows = {(r["_commit_version"], r["url"], r["_change_type"],
+             r["val"], r["_lsn"])
+            for r in table.changes(0, pre_images=True).collect()}
+    assert rows == {
+        (1, "u1", "insert", "a", 1),
+        (1, "u2", "insert", "b", 2),
+        (1, "u3", "insert", "c", 3),
+        (2, "u1", "update_preimage", "a", 1),
+        (2, "u1", "update_postimage", "a2", 10),
+        (2, "u2", "delete", "b", 2),          # old values, pre lsn
+        (3, "u4", "insert", "d", 20),         # stale u1 row loses
+        (5, "u2", "insert", "b2", 30),        # resurrect = insert
+        (5, "u4", "update_preimage", "d", 20),
+        (5, "u4", "update_postimage", "d2", 31),
+        (7, "u3", "delete", "c", 3),
+    }
+
+
+def test_pre_images_telescope_across_any_window(table):
+    """Signed contributions over ANY [a, b] window equal the liveness
+    delta between the endpoint snapshots — the invariant incremental
+    aggregate maintenance (cdc/ivm.py) is built on. Holds because each
+    commit's pre-image equals the previous commit's post-image."""
+    cur = table.current_version()
+    for a in range(cur):
+        for b in range(a + 1, cur + 1):
+            live_a = {r["url"] for r in table.read(version=a).collect()}
+            live_b = {r["url"] for r in table.read(version=b).collect()}
+            net: dict[str, int] = {}
+            for r in table.changes(a, b, pre_images=True).collect():
+                u = r["url"]
+                net[u] = net.get(u, 0) + SIGN[r["_change_type"]]
+            for u in set(net) | live_a | live_b:
+                expected = int(u in live_b) - int(u in live_a)
+                assert net.get(u, 0) == expected, (a, b, u)
+
+
+def test_pre_images_require_net_feed(table):
+    with pytest.raises(ValueError, match="pre_images"):
+        table.changes(0, net=False, pre_images=True)
+
+
+def test_pre_image_feed_column_pruned(spark, tmp_path):
+    """With pre_images the pre-state read is wide by necessity, but a
+    columns=[...] projection must still prune BOTH sides of the diff
+    at the scan: maintaining a count over a table of html blobs must
+    never move the blobs."""
+    fields = FIELDS + [{"id": 3, "name": "html", "type": "binary"}]
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields, "url",
+                         n_buckets=2)
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows,
+            "url string, val string, html binary, lsn long, op string")
+
+    t.merge(b([("u1", "a", b"x" * 64, 1, "I")]), batch_id="e-1")
+    t.merge(b([("u1", "a2", b"z" * 64, 9, "U")]), batch_id="e-2")
+
+    feed = t.changes(1, 2, pre_images=True, columns=["val"])
+    assert set(feed.columns) == {"url", "val", "_lsn", "_change_type",
+                                 "_commit_version"}
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas
+    for s in schemas:
+        assert "f_3" not in s, f"html column crossed a scan: {s}"
