@@ -8,11 +8,20 @@ incremental batch and times, at several base sizes:
 - full_scan   : read() full-table consume — the no-CDF consumer's poll
 - mirror_sync : end-to-end downstream apply of the same window
                 (feed read + mirror MERGE commit)
+- ivm_refresh : advance a materialized per-language count/avg view by
+                the same window from the signed pre/post-image feed
+                (cdc/ivm.py) — includes the view's own MERGE commit
+- agg_recompute : the no-IVM consumer's poll — the identical aggregate
+                recomputed from a full base-table scan (the reference's
+                per-poll pattern, mongodb_storage.py:154-245)
 
 The claim under test is asymptotic, not constant: feed cost tracks the
 BATCH size while the full scan tracks the TABLE size, so the ratio
-must widen as the base grows. Run on a quiet host (canary protocol as
-in bench_scaling.py); archive with BENCH/cdf_run_*.json.
+must widen as the base grows. The same shape is expected for
+ivm_refresh vs agg_recompute; each leg also cross-checks the refreshed
+view against the recompute, so the speedup is certified equal-output.
+Run on a quiet host (canary protocol as in bench_scaling.py); archive
+with BENCH/cdf_run_*.json.
 
 Usage: python BENCH/exp_cdf.py [--cores 16] [--bases 50000,200000]
 """
@@ -30,6 +39,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 
 from clinical_trials_etl_spark.session import get_spark  # noqa: E402
+from clinical_trials_etl_spark.cdc.ivm import (  # noqa: E402
+    create_agg_view,
+    read_agg_view,
+    refresh_agg_view,
+)
 from clinical_trials_etl_spark.cdc.mirror import (  # noqa: E402
     create_mirror,
     sync_mirror,
@@ -70,6 +84,16 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
     mirror = create_mirror(spark, table, f"{work}/mirror")
     sync_mirror(table, mirror)
 
+    # a materialized aggregate view already caught up to the base:
+    # per-language page count + mean fetch_status (the log's schema
+    # ramp completes inside the base load, so the final names apply)
+    view = create_agg_view(
+        spark, table, f"{work}/view",
+        group_cols=["language"],
+        aggs=[("count", None, "pages"),
+              ("avg", "fetch_status", "mean_status")])
+    refresh_agg_view(table, view)
+
     replay(spark, f"{work}/inc", f"{work}/table",
            batch_prefix="inc", merge_mode=mode)
     v_cur = table.current_version()
@@ -94,6 +118,28 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
     stats = sync_mirror(table, mirror)
     t_sync = time.monotonic() - t0
 
+    t0 = time.monotonic()
+    ivm_stats = refresh_agg_view(table, view)
+    t_ivm = time.monotonic() - t0
+
+    def recompute(df):
+        return df.groupBy("language").agg(
+            F.count("*").alias("pages"),
+            F.avg("fetch_status").alias("mean_status"))
+
+    t0 = time.monotonic()
+    recomputed = {r["language"]: (r["pages"], r["mean_status"])
+                  for r in recompute(table.read()).collect()}
+    t_recompute = time.monotonic() - t0
+
+    # the speedup only counts if the outputs agree
+    maintained = {r["language"]: (r["pages"], r["mean_status"])
+                  for r in read_agg_view(view).collect()}
+    assert maintained.keys() == recomputed.keys(), "group sets diverge"
+    for lang, (n, m) in maintained.items():
+        rn, rm = recomputed[lang]
+        assert n == rn and abs((m or 0) - (rm or 0)) < 1e-9, lang
+
     return {
         "base_events": base_events,
         "inc_events": INC_EVENTS,
@@ -101,10 +147,15 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
         "table_rows": table_rows,
         "feed_rows": feed_rows,
         "mirror_rows_merged": stats["rows"],
+        "view_groups_touched": ivm_stats["groups"],
         "feed_sec": round(t_feed, 3),
         "full_scan_sec": round(t_scan, 3),
         "mirror_sync_sec": round(t_sync, 3),
+        "ivm_refresh_sec": round(t_ivm, 3),
+        "agg_recompute_sec": round(t_recompute, 3),
         "scan_over_feed": round(t_scan / t_feed, 2) if t_feed else None,
+        "recompute_over_ivm": (
+            round(t_recompute / t_ivm, 2) if t_ivm else None),
     }
 
 
