@@ -83,12 +83,80 @@ def _spark_type(name: str) -> T.DataType:
     return _TYPES[name]
 
 
-def _parquet_num_rows(path: str) -> int:
-    """Row count from the parquet footer (driver-side metadata read —
-    no Spark job)."""
+# column types whose parquet min/max stats the manifest records (the
+# orderable primitives; binary payloads and nested types never get
+# stats — they are not skippable predicates)
+_STAT_TYPES = {
+    "int", "integer", "short", "smallint", "long", "bigint",
+    "float", "double", "real", "boolean", "string", "timestamp", "date",
+}
+# longer string stats are dropped, not truncated: a truncated max
+# would be a LOWER bound, and skipping on it could drop matching files
+_STAT_MAX_STR = 64
+
+
+def _stat_encode(v):
+    """JSON-safe, order-preserving encoding of a parquet stat value.
+    Timestamps -> epoch micros (UTC), dates -> epoch days, strings
+    as-is (UTF-8 byte order == code-point order, so Python string
+    comparison matches parquet's ordering). Returns None for values
+    that cannot be encoded safely — the caller drops that column's
+    stat for the file, which only disables skipping, never
+    correctness."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if len(v) <= _STAT_MAX_STR else None
+    return None
+
+
+def _parquet_footer(path: str, stat_cols: set[str]) -> tuple[int, dict]:
+    """Row count + per-column ``[min, max]`` from the parquet footer —
+    ONE driver-side metadata read per written file, no Spark job (the
+    same read that already supplied row counts). A column's stat is
+    recorded only if EVERY row group reports min/max for it; a missing
+    or unencodable row-group stat poisons the whole file's entry for
+    that column (conservative: no stat == never skipped)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in stat_cols or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    stats = {n: [mins[n], maxs[n]] for n in mins if n not in bad}
+    return md.num_rows, stats
 
 
 class LakeTable:
@@ -427,10 +495,79 @@ class LakeTable:
             df = self._winner_per_key(df, key)
         return df
 
+    def _read_skipping(
+        self,
+        snap: dict,
+        columns: list[str] | None,
+        col: str,
+        lo,
+        hi,
+    ) -> DataFrame:
+        """Reconciled read that SKIPS files whose manifest ``[min,max]``
+        for ``col`` is disjoint from ``[lo, hi]`` — before any scan
+        task is planned (Iceberg manifest-stats pruning analog).
+
+        Skipping is only sound where dropping a whole file cannot
+        change winner resolution: in buckets with no delta layers,
+        data is one-row-per-key at rest, so a skipped file's rows
+        would all have been filtered anyway. A bucket with delta
+        layers reads ALL its files and reconciles — a skipped delta
+        file could hold the max-LSN winner for a key whose superseded
+        (and in-range) row would then wrongly resurrect. The row-level
+        BETWEEN filter is applied by the caller in both cases, post
+        reconciliation — stats only skip, they never substitute for
+        the filter."""
+        key = self.key_field(snap)
+        fields = self.fields(snap)
+        col_id = next(
+            (f["id"] for f in fields if f["name"] == col), None)
+        if col_id is None:
+            raise ValueError(f"unknown between column {col!r}")
+        phys_name = f"f_{col_id}"
+        lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
+        if columns is not None:
+            cols = list(dict.fromkeys([*columns, key]))
+            missing = set(cols) - {f["name"] for f in fields}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            fields = [f for f in fields if f["name"] in set(cols)]
+
+        by_bucket: dict[int, list[dict]] = {}
+        for e in self.files(snap, None):
+            by_bucket.setdefault(e["bucket"], []).append(e)
+        base: list[dict] = []
+        layered: list[dict] = []
+        for group in by_bucket.values():
+            if any(e.get("delta") for e in group):
+                layered += group
+                continue
+            for e in group:
+                st = (e.get("stats") or {}).get(phys_name)
+                try:
+                    disjoint = (
+                        st is not None
+                        and lo_e is not None and hi_e is not None
+                        and (st[1] < lo_e or st[0] > hi_e))
+                except TypeError:  # bound/stat type mismatch: keep
+                    disjoint = False
+                if not disjoint:
+                    base.append(e)
+        parts: list[DataFrame] = []
+        if base or not layered:
+            parts.append(self._read_entries(fields, base))
+        if layered:
+            parts.append(self._winner_per_key(
+                self._read_entries(fields, layered), key))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         version: int | None = None,
         columns: list[str] | None = None,
+        between: tuple | None = None,
     ) -> DataFrame:
         """Live rows at a snapshot (delta layers reconciled, tombstones
         filtered, system cols off).
@@ -441,9 +578,24 @@ class LakeTable:
         delta layers the winner aggregation's payload struct blocks
         that pushdown — pass ``columns`` to keep a narrow read narrow
         at any table width (at design scale: reading one field of a
-        page row must not scan the html blobs)."""
+        page row must not scan the html blobs).
+
+        ``between``: ``(col, lo, hi)`` — inclusive range filter on a
+        data column, evaluated against the per-file min/max stats the
+        manifest records at write time so stat-disjoint files are
+        skipped at the manifest (see ``_read_skipping``). Pair with
+        ``compact(sort_by=col, rows_per_file=...)`` for range-clustered
+        files that make the skipping effective: a time-window read of
+        a year-long pages table then touches O(window) files."""
         snap = self.snapshot(version)
-        df = self._read_reconciled(snap, None, columns)
+        if between is None:
+            df = self._read_reconciled(snap, None, columns)
+        else:
+            col, lo, hi = between
+            cols = (None if columns is None
+                    else list(dict.fromkeys([*columns, col])))
+            df = self._read_skipping(snap, cols, col, lo, hi)
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         out = df.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
         if columns is not None:
             out = out.select(*columns)  # drop a key added only for dedup
@@ -684,7 +836,9 @@ class LakeTable:
 
     # ----------------------------------------------------- maintenance
 
-    def compact(self, max_files_per_bucket: int = 1) -> dict:
+    def compact(self, max_files_per_bucket: int = 1,
+                sort_by: str | None = None,
+                rows_per_file: int | None = None) -> dict:
         """Small-file compaction (Iceberg rewrite_data_files analog):
         rewrite every bucket holding more than ``max_files_per_bucket``
         files into one file per bucket, commit as a new snapshot. Data
@@ -694,12 +848,32 @@ class LakeTable:
         adds a delta layer per touched bucket, so buckets accrete
         O(commits-since-compaction) small files whose read-side
         reconciliation would otherwise dominate scan costs — compaction
-        is the amortized half of the merge-on-read bargain."""
+        is the amortized half of the merge-on-read bargain.
+
+        ``sort_by``: cluster rows within each bucket by this column
+        during the rewrite (Iceberg SORT ORDER analog), and cap output
+        files at ``rows_per_file`` rows so each bucket splits into
+        contiguous sorted ranges. Every written file's min/max for the
+        column then covers a narrow slice, which is what makes the
+        manifest stats recorded at write time effective:
+        ``read(between=(sort_by, lo, hi))`` skips the disjoint files
+        at the manifest, before any scan task is planned. At design
+        scale this is the 'query yesterday's pages out of a year-long
+        table' path — time-windowed reads touch O(window) files, not
+        O(table). With ``sort_by`` set, ALL buckets rewrite (range
+        clustering is the point, not just file count)."""
         snap = self.snapshot()
         counts: dict[int, int] = {}
         for f in self.files(snap):
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        fat = {b for b, c in counts.items() if c > max_files_per_bucket}
+        if sort_by is not None:
+            known = {f["name"] for f in self.fields(snap)}
+            if sort_by not in known:
+                raise ValueError(f"unknown sort_by column {sort_by!r}")
+            fat = set(counts)
+        else:
+            fat = {b for b, c in counts.items()
+                   if c > max_files_per_bucket}
         if not fat:
             return {"compacted_buckets": 0, "version": snap["version"]}
 
@@ -713,18 +887,24 @@ class LakeTable:
         )
         out_dir = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex}")
         phys = {f"f_{f['id']}": f["type"] for f in fields}
-        (
-            df.select(
-                *[F.col(f["name"]).alias(f"f_{f['id']}") for f in fields],
-                F.col(SYS_LSN),
-                F.col(SYS_DELETED),
-                F.col(SYS_BUCKET),
-            )
-            .repartition(len(fat), F.col(SYS_BUCKET))
-            .write.mode("overwrite")
-            .partitionBy(SYS_BUCKET)
-            .parquet(out_dir)
-        )
+        writer = df.select(
+            *[F.col(f["name"]).alias(f"f_{f['id']}") for f in fields],
+            F.col(SYS_LSN),
+            F.col(SYS_DELETED),
+            F.col(SYS_BUCKET),
+        ).repartition(len(fat), F.col(SYS_BUCKET))
+        if sort_by is not None:
+            # sorted runs per bucket directory: with maxRecordsPerFile
+            # the writer splits each directory's sequential sorted rows
+            # into files, so every file is one contiguous value range
+            sort_phys = next(
+                f"f_{f['id']}" for f in fields if f["name"] == sort_by)
+            writer = writer.sortWithinPartitions(
+                F.col(SYS_BUCKET), F.col(sort_phys))
+        w = writer.write.mode("overwrite")
+        if rows_per_file is not None:
+            w = w.option("maxRecordsPerFile", int(rows_per_file))
+        w.partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = self._collect_written_files(out_dir, phys)[0]
 
         version = snap["version"] + 1
@@ -748,7 +928,8 @@ class LakeTable:
         snap2["committed_at"] = time.time()
         self._append_lineage(
             version,
-            {"type": "compaction", "buckets": sorted(fat)},
+            {"type": "compaction", "buckets": sorted(fat),
+             **({"sort_by": sort_by} if sort_by else {})},
         )
         self._write_snapshot(snap2)
         return {"compacted_buckets": len(fat), "version": version}
@@ -862,8 +1043,13 @@ class LakeTable:
         self, out_dir: str, phys: dict
     ) -> tuple[list[dict], int]:
         """Enumerate bucket-partitioned parquet output -> (file entries,
-        total rows). Row counts come from parquet footers driver-side —
-        no Spark job."""
+        total rows). Row counts AND per-file min/max column stats come
+        from parquet footers driver-side (one metadata read per file,
+        no Spark job) — the Iceberg manifest-stats analog that
+        ``read(between=...)`` skips files with."""
+        stat_cols = {
+            n for n, t in phys.items() if t in _STAT_TYPES
+        } | {SYS_LSN}
         new_files: list[dict] = []
         total_rows = 0
         for bucket_dir in sorted(os.listdir(out_dir)):
@@ -873,9 +1059,11 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
                 if fn.endswith(".parquet"):
                     path = os.path.join(out_dir, bucket_dir, fn)
-                    total_rows += _parquet_num_rows(path)
+                    n_rows, stats = _parquet_footer(path, stat_cols)
+                    total_rows += n_rows
                     new_files.append(
-                        {"path": path, "bucket": bucket, "phys": phys}
+                        {"path": path, "bucket": bucket, "phys": phys,
+                         "stats": stats}
                     )
         return new_files, total_rows
 

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 timestamps carry no parquet min/max statistics (their
+        # ordering is undefined by the spec); TIMESTAMP_MICROS restores
+        # footer stats, which the lake's manifest-level file skipping
+        # reads (lake/table.py::_parquet_footer)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
