@@ -97,6 +97,8 @@ def run_stream(
     rebucket_after: tuple[int, int] | None = None,
     expire_every: int | None = None,
     expire_keep: int = 2,
+    views: list[LakeTable] | None = None,
+    refresh_views_every: int | None = None,
     fail_after_batches: int | None = None,
 ):
     """Process everything currently in ``log_dir`` through streaming
@@ -125,6 +127,21 @@ def run_stream(
       reference (LakeTable.expire_snapshots) — the streaming analog of
       a scheduled retention job; without it a long-running delta stream
       accretes every superseded layer forever.
+
+    - ``views`` (+ ``refresh_views_every=K``): every K applied epochs,
+      advance each materialized aggregate view (cdc/ivm.py) over the
+      table's pre/post-image feed — live analytics ride the stream at
+      O(changes) per refresh instead of a recompute per poll. A
+      refresh is itself an idempotent view commit keyed on the
+      consumed source version, so the crash story is identical to
+      compaction: a kill between table commit and view refresh just
+      defers the catch-up to the next boundary (or a manual
+      ``refresh_agg_view`` after the stream). Refreshes run before any
+      same-epoch snapshot expiry, and when combining with
+      ``expire_every`` the retention window must cover the refresh
+      cadence (``expire_keep`` snapshots >= versions between
+      refreshes) — the feed fails fast on expired ranges rather than
+      silently under-counting.
 
     ``fail_after_batches=N`` is fault injection for tests: raise AFTER
     the N-th applied epoch's lake commit (and its maintenance) but
@@ -164,6 +181,17 @@ def run_stream(
                 and table.snapshot()["n_buckets"] != rebucket_after[1]
             ):
                 table.rebucket(rebucket_after[1])
+            # views refresh BEFORE snapshot expiry: expiring first
+            # could drop feed versions a lagging view still needs
+            # (the feed fails fast on expired ranges)
+            if views and refresh_views_every and (
+                    applied["n"] % refresh_views_every == 0):
+                from clinical_trials_etl_spark.cdc.ivm import (
+                    refresh_agg_view,
+                )
+
+                for v in views:
+                    refresh_agg_view(table, v)
             if expire_every and applied["n"] % expire_every == 0:
                 table.expire_snapshots(keep_last=expire_keep)
             if fail_after_batches and applied["n"] >= fail_after_batches:

@@ -218,3 +218,47 @@ def test_stream_delta_mid_stream_kill_resumes_identically(
         .select("url", "text", "language", "_lsn", "_deleted").collect()
     )
     assert a == b
+
+
+def test_stream_maintains_agg_view_on_cadence(spark, log_dir, tmp_path):
+    """Materialized aggregate views ride the stream: every K applied
+    epochs the per-language page-count view advances over the
+    pre/post-image feed (cdc/ivm.py). The view is created on the v1
+    schema (column 'lang') and must keep tracking the column by field
+    id across the log's mid-stream rename to 'language'. At each
+    checkpointable state, the view must equal a recompute against the
+    SAME source version it reflects (time-travel read)."""
+    from clinical_trials_etl_spark.cdc.ivm import (
+        create_agg_view,
+        last_refreshed,
+        read_agg_view,
+        refresh_agg_view,
+    )
+
+    table = create_pages_table(spark, str(tmp_path / "tbl_ivm"), n_buckets=8)
+    view = create_agg_view(
+        spark, table, str(tmp_path / "view_ivm"),
+        group_cols=["lang"], aggs=[("count", None, "pages")])
+
+    run_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt_ivm"),
+        max_files_per_trigger=1, views=[view], refresh_views_every=2,
+    )
+    v = last_refreshed(view)
+    assert v > 0, "the in-stream cadence never refreshed the view"
+
+    def recompute(version):
+        # the group column's CURRENT name at that source version
+        name = next(f["name"] for f in table.fields(table.snapshot(version))
+                    if f["id"] == 5)
+        return {r[0]: r[1] for r in table.read(version=version)
+                .groupBy(name).count().collect()}
+
+    got = {r["lang"]: r["pages"] for r in read_agg_view(view).collect()}
+    assert got == recompute(v)
+
+    # a manual catch-up refresh converges the view to the head
+    refresh_agg_view(table, view)
+    assert last_refreshed(view) == table.current_version()
+    got = {r["lang"]: r["pages"] for r in read_agg_view(view).collect()}
+    assert got == recompute(table.current_version())
