@@ -1037,6 +1037,68 @@ class LakeTable:
                     removed += 1
         return {"removed_files": removed, "kept_versions": keep_versions}
 
+    def remove_orphans(self, older_than_s: float = 86400.0) -> dict:
+        """Delete data files NO existing snapshot references (Iceberg
+        remove_orphan_files analog). Every write path in this format
+        produces its parquet output FIRST and commits the snapshot
+        SECOND — a crash in that window leaves the table consistent
+        but strands the output directory forever; nothing ever
+        references it, so ``expire_snapshots`` retention math never
+        touches it either. This reclaims exactly that residue while
+        keeping EVERY snapshot readable (unlike expire, which trades
+        time-travel depth for space).
+
+        ``older_than_s``: only files at least this old are swept — the
+        guard that makes the sweep safe to schedule next to in-flight
+        writes (a file being written RIGHT NOW is young, unreferenced,
+        and must survive). Iceberg's remove_orphan_files defaults to
+        3 days for the same reason; crash residue is by definition old
+        by the time a maintenance job runs."""
+        referenced: set[str] = set()
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                snap = json.load(f)
+            for e in self.files(snap):
+                referenced.add(e["path"])
+        cutoff = time.time() - older_than_s
+        removed = 0
+        for dirpath, _dirs, files in os.walk(self.data_dir, topdown=False):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue  # never touch unknown files here
+                path = os.path.join(dirpath, fn)
+                if path in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue
+                    os.remove(path)
+                except OSError:
+                    continue
+                removed += 1
+            # a directory the sweep emptied down to its _SUCCESS
+            # marker is pure crash residue — drop marker + dir
+            # (committed dirs keep referenced parquet, so their
+            # markers survive); walk is bottom-up, so bucket subdirs
+            # are pruned before their output root is examined
+            if dirpath == self.data_dir:
+                continue
+            try:
+                left = os.listdir(dirpath)
+                if left == ["_SUCCESS"]:
+                    marker = os.path.join(dirpath, "_SUCCESS")
+                    if os.path.getmtime(marker) <= cutoff:
+                        os.remove(marker)
+                        left = []
+                if not left:
+                    os.rmdir(dirpath)
+            except OSError:
+                pass
+        return {"removed_files": removed,
+                "referenced_files": len(referenced)}
+
     # ----------------------------------------------------------- merge
 
     def _collect_written_files(
