@@ -729,6 +729,16 @@ class LakeTable:
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             lin = self._lineage_entry(v)
+            if lin is not None and lin.get("type") == "rollback":
+                # a revert is not incrementally foldable (it can undo
+                # any number of prior commits at once) — fail fast
+                # rather than silently emit nothing for a commit that
+                # DID change logical state; consumers resync from a
+                # full read (cdc/mirror.py / cdc/ivm.py: recreate)
+                raise ValueError(
+                    f"change range {from_version}..{to_version} "
+                    f"crosses a rollback at v{v} — resync downstream "
+                    f"state from a full read instead")
             if lin is None or lin.get("type") != "merge":
                 continue  # maintenance/evolution: no logical change
             with open(self._manifest_path(v)) as f:
@@ -1036,6 +1046,47 @@ class LakeTable:
                     os.remove(path)
                     removed += 1
         return {"removed_files": removed, "kept_versions": keep_versions}
+
+    def rollback(self, version: int) -> dict:
+        """Restore the table to snapshot ``version`` as a NEW commit
+        (Iceberg rollback / Delta RESTORE analog) — metadata-only: the
+        new snapshot re-references the target's manifests, no data
+        moves, and every intermediate version stays time-travel
+        readable (the bad history is preserved evidence, not erased).
+
+        The idempotency ledger (``batch_hwm``/``applied_recent``)
+        restores to the TARGET's values on purpose: re-delivering the
+        epochs that came after ``version`` must re-APPLY, not no-op —
+        that is the point of a CDC rollback (bad-deploy recovery: roll
+        back, fix the code, replay the same log segments). Schema and
+        bucket count restore too — a bad evolution or rebucket is as
+        revertible as bad data.
+
+        Downstream increments: ``changes()`` over a window containing
+        a rollback commit fails fast (a revert is not incrementally
+        foldable); mirrors and materialized views resync from a full
+        read."""
+        cur = self.current_version()
+        if not 0 <= version <= cur:
+            raise ValueError(
+                f"cannot roll back to v{version} (current {cur})")
+        if version == cur:
+            return {"rolled_back_to": version, "version": cur,
+                    "noop": True}
+        target = self.snapshot(version)
+        for e in self.files(target):
+            if not os.path.exists(e["path"]):
+                raise ValueError(
+                    f"v{version} is no longer readable (files removed "
+                    f"by expire_snapshots) — cannot roll back to it")
+        snap2 = dict(target)
+        snap2["version"] = cur + 1
+        snap2["parent"] = cur
+        snap2["committed_at"] = time.time()
+        self._append_lineage(
+            cur + 1, {"type": "rollback", "to": version})
+        self._write_snapshot(snap2)
+        return {"rolled_back_to": version, "version": cur + 1}
 
     def remove_orphans(self, older_than_s: float = 86400.0) -> dict:
         """Delete data files NO existing snapshot references (Iceberg
