@@ -768,11 +768,25 @@ class LakeTable:
                 lin.get("touched_buckets")
                 or {e["bucket"] for e in entries})
             pre_entries = self.files(self.snapshot(v - 1), touched)
+
+            def _only_new_keys(pre: DataFrame) -> DataFrame:
+                """For a delta commit, the change candidates are its
+                O(batch) layer keys — semi-join the pre-state down to
+                them BEFORE the winner aggregation, so the agg input
+                shrinks from O(touched-bucket rows) to O(batch). AQE
+                broadcasts the small key side. A COW commit's rewritten
+                buckets carry every key they own, so the filter would
+                keep everything — skip it there."""
+                if not all_delta:
+                    return pre
+                return pre.join(new.select(key), key, "left_semi")
+
             if pre_images:
                 # wide pre-state: the requested value columns ride
                 # along so pre-image rows can be emitted
                 pre_w = self._winner_per_key(
-                    self._read_entries(fields, pre_entries), key
+                    _only_new_keys(self._read_entries(fields, pre_entries)),
+                    key,
                 ).select(
                     F.col(key),
                     *[F.col(f["name"]).alias(f"_pre_{f['name']}")
@@ -784,7 +798,7 @@ class LakeTable:
                 # slim pre-state: only (key, lsn, deleted) cross the
                 # scan — no payload compare is needed for the diff
                 pre_w = (
-                    self._read_entries(key_fld, pre_entries)
+                    _only_new_keys(self._read_entries(key_fld, pre_entries))
                     .groupBy(key)
                     .agg(F.max(F.struct(SYS_LSN, SYS_DELETED))
                          .alias("_w"))
