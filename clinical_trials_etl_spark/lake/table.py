@@ -644,6 +644,10 @@ class LakeTable:
         wins, 'delete' removes) reproduces the ``to_version`` state
         exactly; maintenance commits (compaction, rebucket, schema
         evolution) emit no rows because they change no logical state.
+        A ``rollback`` commit in the range fails fast instead — a
+        revert can undo any number of prior commits at once and is not
+        incrementally foldable; downstream consumers resync from a
+        full read.
 
         Cost model per merge commit in the range (the design-scale
         story):
