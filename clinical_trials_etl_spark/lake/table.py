@@ -502,6 +502,7 @@ class LakeTable:
         col: str,
         lo,
         hi,
+        buckets: set[int] | None = None,
     ) -> DataFrame:
         """Reconciled read that SKIPS files whose manifest ``[min,max]``
         for ``col`` is disjoint from ``[lo, hi]`` — before any scan
@@ -533,7 +534,7 @@ class LakeTable:
             fields = [f for f in fields if f["name"] in set(cols)]
 
         by_bucket: dict[int, list[dict]] = {}
-        for e in self.files(snap, None):
+        for e in self.files(snap, buckets):
             by_bucket.setdefault(e["bucket"], []).append(e)
         base: list[dict] = []
         layered: list[dict] = []
@@ -611,7 +612,17 @@ class LakeTable:
         table): hashes the key to its single bucket, reads only that
         bucket's manifest + files — O(1) metadata and one file group
         touched regardless of table size (Iceberg bucket-partition
-        pruning analog)."""
+        pruning analog).
+
+        Within the bucket, the manifest's per-file key min/max stats
+        skip stat-disjoint files (same machinery and same safety rule
+        as ``read(between=...)``: base-only buckets skip, layered
+        buckets reconcile everything). A bucket compacted with
+        ``compact(sort_by=<key>, rows_per_file=k)`` therefore serves a
+        point lookup from ONE of its k-row files — sorted compaction
+        on the key buys lookups the same O(window) behavior it buys
+        time windows. Keys longer than the recorded-stat cap simply
+        read the whole bucket (stats absent, never wrong)."""
         snap = self.snapshot()
         key = self.key_field(snap)
         bucket = (
@@ -619,7 +630,8 @@ class LakeTable:
             .select(self.bucket_expr(F.lit(key_value)).alias("b"))
             .collect()[0]["b"]
         )
-        df = self._read_reconciled(snap, {bucket})
+        df = self._read_skipping(
+            snap, None, key, key_value, key_value, buckets={bucket})
         return (
             df.filter(F.col(key) == key_value)
             .filter(~F.col(SYS_DELETED))

@@ -172,3 +172,42 @@ def test_tombstones_stay_filtered(spark, tmp_path):
 def test_unknown_between_column_raises(table):
     with pytest.raises(ValueError, match="unknown between column"):
         table.read(between=("nope", 1, 2)).collect()
+
+
+def test_lookup_skips_files_after_key_sorted_compaction(spark, tmp_path):
+    """Sorted compaction ON THE KEY buys point lookups the same
+    skipping it buys range reads: the bucket-pruned lookup plans only
+    the file(s) whose key range can contain the key."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    rows = [(f"u{i:03d}", _ts(1 + i % 9), f"v{i}", i, "I")
+            for i in range(60)]
+    t.merge(_batch(spark, rows), batch_id="load")
+    t.compact(sort_by="url", rows_per_file=8)
+    per_bucket = {}
+    for e in t.files():
+        per_bucket.setdefault(e["bucket"], []).append(e)
+    assert all(len(v) >= 3 for v in per_bucket.values()), \
+        "key-sorted compaction must split each bucket"
+
+    df = t.lookup("u042")
+    got = [(r["url"], r["val"]) for r in df.collect()]
+    assert got == [("u042", "v42")]
+    planned = set(df.inputFiles())
+    bucket_files = max(len(v) for v in per_bucket.values())
+    assert 0 < len(planned) < bucket_files, (
+        f"lookup planned {len(planned)} files; bucket holds "
+        f"{bucket_files}")
+
+
+def test_lookup_still_correct_on_layered_bucket(spark, tmp_path):
+    """A delta-layered bucket must not skip: the lookup's winner could
+    live in any layer file."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    t.merge(_batch(spark, [("u1", _ts(1), "old", 1, "I")]),
+            batch_id="b-1")
+    t.merge(_batch(spark, [("u1", _ts(2), "new", 9, "U")]),
+            batch_id="b-2", mode="delta")
+    got = [(r["url"], r["val"]) for r in t.lookup("u1").collect()]
+    assert got == [("u1", "new")]
