@@ -94,6 +94,8 @@ def run_stream(
     n_salt: int | None = None,
     merge_mode: str | None = None,
     compact_every: int | None = None,
+    compact_sort_by: str | None = None,
+    compact_rows_per_file: int | None = None,
     rebucket_after: tuple[int, int] | None = None,
     expire_every: int | None = None,
     expire_keep: int = 2,
@@ -174,7 +176,11 @@ def run_stream(
         if not stats.get("skipped"):
             applied["n"] += 1
             if compact_every and applied["n"] % compact_every == 0:
-                table.compact()
+                # compact_sort_by: range-cluster the rewrite (e.g. on
+                # warc_ts) so the fold ALSO buys manifest-stats file
+                # skipping for windowed reads — see LakeTable.compact
+                table.compact(sort_by=compact_sort_by,
+                              rows_per_file=compact_rows_per_file)
             if (
                 rebucket_after
                 and applied["n"] == rebucket_after[0]

@@ -83,6 +83,17 @@ def _spark_type(name: str) -> T.DataType:
     return _TYPES[name]
 
 
+class CommitConflict(Exception):
+    """Another writer committed this snapshot version first. The table
+    is single-writer by design (one streaming query per checkpoint —
+    the Structured Streaming model); this fires when two jobs are
+    accidentally pointed at the same table root. Detection, not
+    serialization: the loser fails loudly BEFORE clobbering committed
+    metadata, instead of last-writer-wins silently corrupting the
+    snapshot chain. Recovery: stop the duplicate job; a legitimate
+    retry re-reads the table state and commits on top of the winner."""
+
+
 # column types whose parquet min/max stats the manifest records (the
 # orderable primitives; binary payloads and nested types never get
 # stats — they are not skippable predicates)
@@ -198,6 +209,25 @@ class LakeTable:
     def _snap_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"snap-{version:08d}.json")
 
+    def _write_manifest(self, version: int,
+                        by_bucket: dict[str, list[dict]]) -> str:
+        """Write the per-commit manifest create-if-absent. An existing
+        manifest for a version whose SNAPSHOT already committed means
+        a concurrent writer won — CommitConflict before we clobber its
+        file list. An existing manifest with NO committed snapshot is
+        residue of a crashed attempt (write-then-commit order), which
+        a single-writer retry legitimately replaces."""
+        path = self._manifest_path(version)
+        if os.path.exists(path) and os.path.exists(self._snap_path(version)):
+            raise CommitConflict(
+                f"manifest for version {version} belongs to an "
+                f"already-committed snapshot from a concurrent writer")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": by_bucket}, f, indent=1)
+        os.replace(tmp, path)
+        return path
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"manifest-{version:08d}.json")
 
@@ -206,11 +236,35 @@ class LakeTable:
         return os.path.join(self.meta_dir, "lineage")
 
     def _write_snapshot(self, snap: dict) -> None:
+        """Commit = atomically CREATE snap-<version>.json (write the
+        full content to a temp file, then hard-link it into place —
+        link fails with EEXIST if the version already exists). Two
+        writers racing to commit the same next version therefore
+        cannot silently overwrite each other: exactly one wins, the
+        other gets CommitConflict and must re-read the table state and
+        retry on top of the winner (Iceberg optimistic-concurrency
+        contract). Version 0 (create) keeps plain replace semantics —
+        re-creating over an existing table root is the caller's
+        explicit act, not a race."""
         path = self._snap_path(snap["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1)
-        os.replace(tmp, path)
+        if snap["version"] == 0:
+            os.replace(tmp, path)
+        else:
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"version {snap['version']} was committed by a "
+                    f"concurrent writer — re-read the table state and "
+                    f"retry on top of it") from None
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
         cur_tmp = os.path.join(self.meta_dir, f"_current.tmp-{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
             f.write(str(snap["version"]))
@@ -218,7 +272,16 @@ class LakeTable:
 
     def current_version(self) -> int:
         with open(os.path.join(self.meta_dir, "_current")) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        # _current is a HINT (Iceberg version-hint.text analog): a
+        # crash between the snapshot link and the pointer update
+        # leaves it one behind, and with create-if-absent commits a
+        # stale pointer would wedge the next commit in a conflict it
+        # can never win. The snapshot files are the truth: roll
+        # forward to the newest committed version.
+        while os.path.exists(self._snap_path(v + 1)):
+            v += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> dict:
         if version is None:
@@ -951,11 +1014,7 @@ class LakeTable:
         by_bucket: dict[str, list[dict]] = {}
         for fmeta in new_files:
             by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
-        manifest_path = self._manifest_path(version)
-        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "files": by_bucket}, f, indent=1)
-        os.replace(tmp, manifest_path)
+        manifest_path = self._write_manifest(version, by_bucket)
         manifests = {b: list(v) for b, v in snap["manifests"].items()}
         for b in fat:
             manifests.pop(str(b), None)
@@ -1019,11 +1078,7 @@ class LakeTable:
         by_bucket: dict[str, list[dict]] = {}
         for fmeta in new_files:
             by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
-        manifest_path = self._manifest_path(version)
-        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "files": by_bucket}, f, indent=1)
-        os.replace(tmp, manifest_path)
+        manifest_path = self._write_manifest(version, by_bucket)
         snap2 = dict(snap)
         snap2["version"] = version
         snap2["parent"] = snap["version"]
@@ -1490,11 +1545,7 @@ class LakeTable:
         by_bucket: dict[str, list[dict]] = {}
         for fmeta in new_files:
             by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
-        manifest_path = self._manifest_path(version)
-        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "files": by_bucket}, f, indent=1)
-        os.replace(tmp, manifest_path)
+        manifest_path = self._write_manifest(version, by_bucket)
 
         manifests = {b: list(v) for b, v in snap["manifests"].items()}
         if mode == "cow":

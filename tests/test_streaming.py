@@ -262,3 +262,30 @@ def test_stream_maintains_agg_view_on_cadence(spark, log_dir, tmp_path):
     assert last_refreshed(view) == table.current_version()
     got = {r["lang"]: r["pages"] for r in read_agg_view(view).collect()}
     assert got == recompute(table.current_version())
+
+
+def test_stream_sorted_compaction_enables_windowed_skipping(
+        spark, log_dir, tmp_path):
+    """compact_sort_by on the streaming cadence: the in-stream fold
+    range-clusters each bucket, so a post-hoc time-window read plans
+    strictly fewer files than the table holds — and still equals the
+    plain filtered read exactly."""
+    table = create_pages_table(spark, str(tmp_path / "tbl_sc"), n_buckets=8)
+    run_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt_sc"),
+        max_files_per_trigger=1, merge_mode="delta", compact_every=2,
+        compact_sort_by="warc_ts", compact_rows_per_file=40,
+    )
+    # make the final layout fully folded + clustered
+    table.compact(sort_by="warc_ts", rows_per_file=40)
+    total = len({e["path"] for e in table.files()})
+    lo, hi = table.read().agg(
+        F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    mid = lo + (hi - lo) / 8
+    win = table.read(between=("warc_ts", lo, mid))
+    expected = sorted(
+        r["url"] for r in table.read()
+        .where(F.col("warc_ts").between(F.lit(lo), F.lit(mid)))
+        .collect())
+    assert sorted(r["url"] for r in win.collect()) == expected
+    assert 0 < len(set(win.inputFiles())) < total
