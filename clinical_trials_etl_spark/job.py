@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-every", type=int, default=None,
                    help="fold delta layers into base files every N "
                         "applied epochs (streaming only)")
+    p.add_argument("--compact-sort-by", default=None,
+                   help="range-cluster each bucket by this column "
+                        "during the in-stream fold (e.g. warc_ts) so "
+                        "windowed reads skip files via manifest stats")
+    p.add_argument("--compact-rows-per-file", type=int, default=None,
+                   help="split each clustered bucket into sorted "
+                        "files of at most this many rows")
     return p
 
 
@@ -97,6 +104,8 @@ def main(argv: list[str] | None = None) -> dict:
             n_salt=args.n_salt,
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
+            compact_sort_by=args.compact_sort_by,
+            compact_rows_per_file=args.compact_rows_per_file,
         )
         result = {
             "mode": "stream",
