@@ -940,7 +940,7 @@ class LakeTable:
     # ----------------------------------------------------- maintenance
 
     def compact(self, max_files_per_bucket: int = 1,
-                sort_by: str | None = None,
+                sort_by: str | list[str] | None = None,
                 rows_per_file: int | None = None) -> dict:
         """Small-file compaction (Iceberg rewrite_data_files analog):
         rewrite every bucket holding more than ``max_files_per_bucket``
@@ -953,12 +953,15 @@ class LakeTable:
         reconciliation would otherwise dominate scan costs — compaction
         is the amortized half of the merge-on-read bargain.
 
-        ``sort_by``: cluster rows within each bucket by this column
-        during the rewrite (Iceberg SORT ORDER analog), and cap output
-        files at ``rows_per_file`` rows so each bucket splits into
-        contiguous sorted ranges. Every written file's min/max for the
-        column then covers a narrow slice, which is what makes the
-        manifest stats recorded at write time effective:
+        ``sort_by``: cluster rows within each bucket by this column —
+        or lexicographically by a LIST of columns (Iceberg SORT ORDER
+        analog; the leading column gets full range clustering, later
+        columns cluster within leading-value ties) — during the
+        rewrite, and cap output files at ``rows_per_file`` rows so
+        each bucket splits into contiguous sorted ranges. Every
+        written file's min/max for the leading column then covers a
+        narrow slice, which is what makes the manifest stats recorded
+        at write time effective:
         ``read(between=(sort_by, lo, hi))`` skips the disjoint files
         at the manifest, before any scan task is planned. At design
         scale this is the 'query yesterday's pages out of a year-long
@@ -970,9 +973,12 @@ class LakeTable:
         for f in self.files(snap):
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
         if sort_by is not None:
+            sort_cols = ([sort_by] if isinstance(sort_by, str)
+                         else list(sort_by))
             known = {f["name"] for f in self.fields(snap)}
-            if sort_by not in known:
-                raise ValueError(f"unknown sort_by column {sort_by!r}")
+            unknown = [c for c in sort_cols if c not in known]
+            if unknown:
+                raise ValueError(f"unknown sort_by columns {unknown}")
             fat = set(counts)
         else:
             fat = {b for b, c in counts.items()
@@ -1000,10 +1006,10 @@ class LakeTable:
             # sorted runs per bucket directory: with maxRecordsPerFile
             # the writer splits each directory's sequential sorted rows
             # into files, so every file is one contiguous value range
-            sort_phys = next(
-                f"f_{f['id']}" for f in fields if f["name"] == sort_by)
+            name_to_phys = {f["name"]: f"f_{f['id']}" for f in fields}
             writer = writer.sortWithinPartitions(
-                F.col(SYS_BUCKET), F.col(sort_phys))
+                F.col(SYS_BUCKET),
+                *[F.col(name_to_phys[c]) for c in sort_cols])
         w = writer.write.mode("overwrite")
         if rows_per_file is not None:
             w = w.option("maxRecordsPerFile", int(rows_per_file))
@@ -1028,7 +1034,7 @@ class LakeTable:
         self._append_lineage(
             version,
             {"type": "compaction", "buckets": sorted(fat),
-             **({"sort_by": sort_by} if sort_by else {})},
+             **({"sort_by": sort_cols} if sort_by else {})},
         )
         self._write_snapshot(snap2)
         return {"compacted_buckets": len(fat), "version": version}

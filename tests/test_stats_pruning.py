@@ -211,3 +211,23 @@ def test_lookup_still_correct_on_layered_bucket(spark, tmp_path):
             batch_id="b-2", mode="delta")
     got = [(r["url"], r["val"]) for r in t.lookup("u1").collect()]
     assert got == [("u1", "new")]
+
+
+def test_multi_column_sort_order(spark, tmp_path):
+    """sort_by=[a, b] clusters lexicographically: the leading column
+    gets full range clustering (skippable), the second clusters within
+    leading-value ties — and the windowed read still equals the
+    filter."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    rows = [(f"u{i:03d}", _ts(1 + i % 9, i % 24), f"g{i % 3}", i, "I")
+            for i in range(90)]
+    t.merge(_batch(spark, rows), batch_id="load")
+    t.compact(sort_by=["val", "warc_ts"], rows_per_file=10)
+    assert t.lineage()[-1]["sort_by"] == ["val", "warc_ts"]
+
+    total = len({e["path"] for e in t.files()})
+    win = t.read(between=("val", "g1", "g1"))
+    expected = {r[0] for r in rows if r[2] == "g1"}
+    assert {r["url"] for r in win.collect()} == expected
+    assert 0 < len(set(win.inputFiles())) < total
