@@ -588,7 +588,11 @@ class LakeTable:
         if col_id is None:
             raise ValueError(f"unknown between column {col!r}")
         phys_name = f"f_{col_id}"
-        lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
+        # a bound of None means open-ended (no constraint on that
+        # side); a bound that fails to ENCODE disables skipping on
+        # that side but the row filter still applies it
+        lo_e = _stat_encode(lo) if lo is not None else None
+        hi_e = _stat_encode(hi) if hi is not None else None
         if columns is not None:
             cols = list(dict.fromkeys([*columns, key]))
             missing = set(cols) - {f["name"] for f in fields}
@@ -608,10 +612,9 @@ class LakeTable:
             for e in group:
                 st = (e.get("stats") or {}).get(phys_name)
                 try:
-                    disjoint = (
-                        st is not None
-                        and lo_e is not None and hi_e is not None
-                        and (st[1] < lo_e or st[0] > hi_e))
+                    disjoint = st is not None and (
+                        (lo_e is not None and st[1] < lo_e)
+                        or (hi_e is not None and st[0] > hi_e))
                 except TypeError:  # bound/stat type mismatch: keep
                     disjoint = False
                 if not disjoint:
@@ -645,7 +648,8 @@ class LakeTable:
         page row must not scan the html blobs).
 
         ``between``: ``(col, lo, hi)`` — inclusive range filter on a
-        data column, evaluated against the per-file min/max stats the
+        data column; either bound may be None for an open end
+        ('everything since T'). Evaluated against the per-file min/max stats the
         manifest records at write time so stat-disjoint files are
         skipped at the manifest (see ``_read_skipping``). Pair with
         ``compact(sort_by=col, rows_per_file=...)`` for range-clustered
@@ -656,10 +660,15 @@ class LakeTable:
             df = self._read_reconciled(snap, None, columns)
         else:
             col, lo, hi = between
+            if lo is None and hi is None:
+                raise ValueError("between needs at least one bound")
             cols = (None if columns is None
                     else list(dict.fromkeys([*columns, col])))
             df = self._read_skipping(snap, cols, col, lo, hi)
-            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
         out = df.filter(~F.col(SYS_DELETED)).drop(SYS_LSN, SYS_DELETED)
         if columns is not None:
             out = out.select(*columns)  # drop a key added only for dedup

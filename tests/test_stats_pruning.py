@@ -231,3 +231,20 @@ def test_multi_column_sort_order(spark, tmp_path):
     expected = {r[0] for r in rows if r[2] == "g1"}
     assert {r["url"] for r in win.collect()} == expected
     assert 0 < len(set(win.inputFiles())) < total
+
+
+def test_open_ended_bounds(table):
+    """between with one open end: 'everything since day 3' and
+    'everything up to day 1' — still file-skipped, still exact."""
+    since = table.read(between=("warc_ts", _ts(3), None))
+    got = {r["url"] for r in since.collect()}
+    assert got == {f"u3-{i}" for i in range(10)}
+    all_files = {e["path"] for e in table.files()}
+    assert 0 < len(set(since.inputFiles())) < len(all_files)
+
+    until = table.read(between=("warc_ts", None, _ts(1, 23)))
+    assert {r["url"] for r in until.collect()} == {
+        f"u1-{i}" for i in range(10)}
+
+    with pytest.raises(ValueError, match="at least one bound"):
+        table.read(between=("warc_ts", None, None))
