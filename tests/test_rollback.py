@@ -145,3 +145,45 @@ def test_rollback_to_expired_version_raises(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="no longer readable"):
         t.rollback(1)
+
+
+def test_rollback_on_delta_layered_table(spark, tmp_path):
+    """Rollback of a merge-on-read snapshot re-references its layer
+    manifests as-is; replaying the same delta log converges, including
+    the compaction that follows."""
+    spec = LogSpec(n_events=1200, n_hosts=15, seed=23)
+    log = str(tmp_path / "log")
+    write_changelog_segments(spark, spec, log, n_segments=4)
+    t = replay(spark, log, str(tmp_path / "t"), segments_per_batch=1,
+               merge_mode="delta", compact_every=2)
+    want = {r["url"]: r["text"] for r in t.read().collect()}
+
+    merges = [i for i, e in enumerate(t.lineage(), start=1)
+              if e["type"] == "merge"]
+    t.rollback(merges[0])  # back to the first delta commit
+    t2 = replay(spark, log, str(tmp_path / "t"), segments_per_batch=1,
+                merge_mode="delta", compact_every=2)
+    got = {r["url"]: r["text"] for r in t2.read().collect()}
+    assert got == want
+
+
+def test_ivm_refresh_across_rollback_fails_fast(spark, tmp_path):
+    """A view that lags behind a rollback must refuse to refresh (the
+    feed window crosses the revert) rather than silently under-count —
+    the consumer recreates the view from scratch."""
+    from clinical_trials_etl_spark.cdc.ivm import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    t.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    view = create_agg_view(spark, t, str(tmp_path / "v"), ["val"],
+                           [("count", None, "n")])
+    refresh_agg_view(t, view)  # consumed up to v1
+    t.merge(_batch(spark, [("u2", "b", 2, "I")]), batch_id="e-2")
+    t.rollback(1)
+    t.merge(_batch(spark, [("u3", "c", 3, "I")]), batch_id="e-3")
+    with pytest.raises(ValueError, match="rollback"):
+        refresh_agg_view(t, view)
