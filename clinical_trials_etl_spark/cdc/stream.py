@@ -99,6 +99,8 @@ def run_stream(
     rebucket_after: tuple[int, int] | None = None,
     expire_every: int | None = None,
     expire_keep: int = 2,
+    gc_orphans_every: int | None = None,
+    gc_orphans_older_than_s: float = 86400.0,
     views: list[LakeTable] | None = None,
     refresh_views_every: int | None = None,
     fail_after_batches: int | None = None,
@@ -130,6 +132,10 @@ def run_stream(
       a scheduled retention job; without it a long-running delta stream
       accretes every superseded layer forever.
 
+    - ``gc_orphans_every=K`` (+ ``gc_orphans_older_than_s``): every K
+      applied epochs, reclaim data files stranded by crashes of
+      earlier runs (LakeTable.remove_orphans) — age-gated, so the
+      current run's freshly-written files are never touched.
     - ``views`` (+ ``refresh_views_every=K``): every K applied epochs,
       advance each materialized aggregate view (cdc/ivm.py) over the
       table's pre/post-image feed — live analytics ride the stream at
@@ -200,6 +206,12 @@ def run_stream(
                     refresh_agg_view(table, v)
             if expire_every and applied["n"] % expire_every == 0:
                 table.expire_snapshots(keep_last=expire_keep)
+            if gc_orphans_every and (
+                    applied["n"] % gc_orphans_every == 0):
+                # reclaim output stranded by crashes of EARLIER runs;
+                # the age gate keeps this run's in-flight files safe
+                table.remove_orphans(
+                    older_than_s=gc_orphans_older_than_s)
             if fail_after_batches and applied["n"] >= fail_after_batches:
                 raise RuntimeError(
                     f"injected crash after applied epoch {epoch_id} "

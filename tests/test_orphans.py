@@ -91,3 +91,39 @@ def test_remove_orphans_is_a_noop_on_a_clean_table(spark, tmp_path):
     assert all(os.path.exists(p) for p in pre_files)
     assert t.read(version=v_pre).count() == 1
     assert t.read().count() == 1
+
+
+def test_stream_gc_orphans_on_cadence(spark, tmp_path):
+    """Orphan GC rides the streaming maintenance cadence: residue of a
+    crashed earlier run is reclaimed mid-stream, fresh files survive
+    (age gate), final state is exact."""
+    from clinical_trials_etl_spark.cdc.replay import create_pages_table
+    from clinical_trials_etl_spark.cdc.stream import run_stream
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+
+    log = str(tmp_path / "log")
+    write_changelog_segments(
+        spark, LogSpec(n_events=600, n_hosts=8, seed=31), log,
+        n_segments=2)
+    t = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    # crash residue from "an earlier run": any stranded parquet under
+    # the data dir (content is irrelevant — only that no snapshot
+    # references it), backdated past the age gate
+    stray_dir = os.path.join(t.data_dir, "merge-crashed", "_bucket=0")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "part-00000-crashed.parquet")
+    seg_file = next(
+        os.path.join(dp, f) for dp, _d, fs in os.walk(log)
+        for f in fs if f.endswith(".parquet"))
+    shutil.copy(seg_file, stray)
+    old = time.time() - 7200
+    os.utime(stray, (old, old))
+
+    run_stream(spark, log, t, str(tmp_path / "ckpt"),
+               max_files_per_trigger=2,
+               gc_orphans_every=1, gc_orphans_older_than_s=3600)
+    assert not os.path.exists(stray)
+    assert t.read().count() > 0
