@@ -1147,6 +1147,33 @@ class LakeTable:
                     removed += 1
         return {"removed_files": removed, "kept_versions": keep_versions}
 
+    def history(self) -> list[dict]:
+        """Commit history, newest first (Delta DESCRIBE HISTORY /
+        Iceberg snapshots-metadata analog): one row per EXISTING
+        snapshot with its commit timestamp, parent, operation type and
+        the commit's lineage detail (epoch, touched buckets, lsn
+        range, row counts — whatever that operation recorded).
+        Snapshots removed by retention simply don't appear; their
+        lineage sidecars remain available via ``lineage()``. Driver-
+        side metadata only — no Spark job."""
+        out: list[dict] = []
+        for fn in sorted(os.listdir(self.meta_dir), reverse=True):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                snap = json.load(f)
+            lin = self._lineage_entry(snap["version"])
+            out.append({
+                "version": snap["version"],
+                "parent": snap["parent"],
+                "committed_at": snap["committed_at"],
+                "operation": (lin or {}).get(
+                    "type", "create" if snap["version"] == 0 else None),
+                "n_buckets": snap["n_buckets"],
+                "detail": lin or {},
+            })
+        return out
+
     def rollback(self, version: int) -> dict:
         """Restore the table to snapshot ``version`` as a NEW commit
         (Iceberg rollback / Delta RESTORE analog) — metadata-only: the

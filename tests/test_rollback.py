@@ -187,3 +187,18 @@ def test_ivm_refresh_across_rollback_fails_fast(spark, tmp_path):
     t.merge(_batch(spark, [("u3", "c", 3, "I")]), batch_id="e-3")
     with pytest.raises(ValueError, match="rollback"):
         refresh_agg_view(t, view)
+
+
+def test_history_lists_commits_newest_first(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    t.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    t.merge(_batch(spark, [("u1", "a2", 9, "U")]), batch_id="e-2")
+    t.compact(sort_by="val")
+    t.rollback(1)
+    h = t.history()
+    assert [r["version"] for r in h] == [4, 3, 2, 1, 0]
+    assert [r["operation"] for r in h] == [
+        "rollback", "compaction", "merge", "merge", "create"]
+    assert h[0]["detail"]["to"] == 1
+    assert all(r["parent"] == r["version"] - 1 for r in h[:-1])
