@@ -283,11 +283,86 @@ class LakeTable:
             v += 1
         return v
 
-    def snapshot(self, version: int | None = None) -> dict:
+    def snapshot(self, version: int | str | None = None) -> dict:
         if version is None:
             version = self.current_version()
+        elif isinstance(version, str):
+            version = self._resolve_ref(version)
         with open(self._snap_path(version)) as f:
             return json.load(f)
+
+    # ---------------------------------------------------------- refs
+
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    @property
+    def refs_dir(self) -> str:
+        return os.path.join(self.meta_dir, "refs")
+
+    def _tag_path(self, name: str) -> str:
+        if not self._REF_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r} (want [A-Za-z0-9._-], "
+                f"letter/digit first, <=64 chars)")
+        return os.path.join(self.refs_dir, f"tag-{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Create an immutable named ref to a snapshot (Iceberg tag
+        analog — `ALTER TABLE ... CREATE TAG`). Tags pin their
+        snapshot against ``expire_snapshots`` retention: a tagged
+        version stays readable until the tag is dropped, however far
+        the retention window moves past it (audit / reproducibility
+        pins: 'the exact table state model X was trained on').
+
+        Creation is atomic create-if-absent, same hard-link contract
+        as snapshot commits — re-tagging an existing name raises
+        instead of silently moving the pin (delete_tag first)."""
+        if version is None:
+            version = self.current_version()
+        if not os.path.exists(self._snap_path(version)):
+            raise ValueError(f"no snapshot v{version} to tag")
+        os.makedirs(self.refs_dir, exist_ok=True)
+        path = self._tag_path(name)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version,
+                       "created_at": time.time()}, f, indent=1)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (tags are immutable — "
+                f"delete_tag it first to move the pin)") from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return {"name": name, "version": version}
+
+    def tags(self) -> dict[str, int]:
+        """All tags, name -> pinned snapshot version."""
+        if not os.path.isdir(self.refs_dir):
+            return {}
+        out: dict[str, int] = {}
+        for fn in sorted(os.listdir(self.refs_dir)):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self.refs_dir, fn)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = rec["version"]
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise ValueError(f"no such tag {name!r}")
+        os.remove(path)
+
+    def _resolve_ref(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no such tag {name!r} (have {sorted(tags)})")
+        return tags[name]
 
     # --------------------------------------------- batch idempotence
 
@@ -632,7 +707,7 @@ class LakeTable:
 
     def read(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         columns: list[str] | None = None,
         between: tuple | None = None,
     ) -> DataFrame:
@@ -654,8 +729,17 @@ class LakeTable:
         skipped at the manifest (see ``_read_skipping``). Pair with
         ``compact(sort_by=col, rows_per_file=...)`` for range-clustered
         files that make the skipping effective: a time-window read of
-        a year-long pages table then touches O(window) files."""
-        snap = self.snapshot(version)
+        a year-long pages table then touches O(window) files.
+
+        ``version`` also accepts a tag name (read-at-ref)."""
+        return self._read_snap(self.snapshot(version), columns, between)
+
+    def _read_snap(
+        self,
+        snap: dict,
+        columns: list[str] | None = None,
+        between: tuple | None = None,
+    ) -> DataFrame:
         if between is None:
             df = self._read_reconciled(snap, None, columns)
         else:
@@ -1127,14 +1211,25 @@ class LakeTable:
         """Delete data files no snapshot in the retained window
         references (Iceberg expire_snapshots analog). Keeps the last
         ``keep_last`` snapshots readable (time travel window); older
-        snapshot JSONs remain (tiny) but their exclusive files go."""
+        snapshot JSONs remain (tiny) but their exclusive files go.
+        Tagged versions are ALWAYS retained — a tag is an explicit pin
+        that outranks the sliding window (Iceberg ref-aware snapshot
+        retention), so audit/repro reads stay valid until the tag is
+        dropped. Staged WAP commits' files are likewise protected
+        until published or aborted."""
         current = self.current_version()
-        keep_versions = [
-            v
-            for v in range(max(0, current - keep_last + 1), current + 1)
-            if os.path.exists(self._snap_path(v))
-        ]
-        live: set[str] = set()
+        keep_versions = sorted(
+            {
+                v
+                for v in range(max(0, current - keep_last + 1), current + 1)
+                if os.path.exists(self._snap_path(v))
+            }
+            | {
+                v for v in self.tags().values()
+                if os.path.exists(self._snap_path(v))
+            }
+        )
+        live: set[str] = self._staged_file_paths()
         for v in keep_versions:
             for f in self.files(self.snapshot(v)):
                 live.add(f["path"])
@@ -1155,7 +1250,11 @@ class LakeTable:
         range, row counts — whatever that operation recorded).
         Snapshots removed by retention simply don't appear; their
         lineage sidecars remain available via ``lineage()``. Driver-
-        side metadata only — no Spark job."""
+        side metadata only — no Spark job. Rows carry the tags pinning
+        their version, if any."""
+        by_version: dict[int, list[str]] = {}
+        for name, v in self.tags().items():
+            by_version.setdefault(v, []).append(name)
         out: list[dict] = []
         for fn in sorted(os.listdir(self.meta_dir), reverse=True):
             if not (fn.startswith("snap-") and fn.endswith(".json")):
@@ -1170,11 +1269,12 @@ class LakeTable:
                 "operation": (lin or {}).get(
                     "type", "create" if snap["version"] == 0 else None),
                 "n_buckets": snap["n_buckets"],
+                "tags": sorted(by_version.get(snap["version"], [])),
                 "detail": lin or {},
             })
         return out
 
-    def rollback(self, version: int) -> dict:
+    def rollback(self, version: int | str) -> dict:
         """Restore the table to snapshot ``version`` as a NEW commit
         (Iceberg rollback / Delta RESTORE analog) — metadata-only: the
         new snapshot re-references the target's manifests, no data
@@ -1192,7 +1292,12 @@ class LakeTable:
         Downstream increments: ``changes()`` over a window containing
         a rollback commit fails fast (a revert is not incrementally
         foldable); mirrors and materialized views resync from a full
-        read."""
+        read.
+
+        ``version`` also accepts a tag name — ``rollback("pre-deploy")``
+        is the recovery drill's natural spelling."""
+        if isinstance(version, str):
+            version = self._resolve_ref(version)
         cur = self.current_version()
         if not 0 <= version <= cur:
             raise ValueError(
@@ -1231,8 +1336,11 @@ class LakeTable:
         writes (a file being written RIGHT NOW is young, unreferenced,
         and must survive). Iceberg's remove_orphan_files defaults to
         3 days for the same reason; crash residue is by definition old
-        by the time a maintenance job runs."""
-        referenced: set[str] = set()
+        by the time a maintenance job runs.
+
+        Staged (unpublished) WAP commits' files count as referenced —
+        a candidate awaiting its audit verdict is not residue."""
+        referenced: set[str] = self._staged_file_paths()
         for fn in os.listdir(self.meta_dir):
             if not (fn.startswith("snap-") and fn.endswith(".json")):
                 continue
@@ -1454,6 +1562,7 @@ class LakeTable:
         mode: str = "cow",
         fill: Callable[[DataFrame], DataFrame] | None = None,
         source_unique: bool = False,
+        wap_id: str | None = None,
     ) -> dict:
         """LSN-guarded keyed MERGE (I/U upsert, D tombstone) into the
         touched buckets. ``source`` must carry the table's data columns
@@ -1503,10 +1612,26 @@ class LakeTable:
         (each extra action is a fixed cost that does not shrink with
         cores).
 
+        ``wap_id``: write-audit-publish (Iceberg WAP analog). The merge
+        runs in full — dedup, winner plan, bucket write — but the
+        resulting snapshot is STAGED under this id instead of becoming
+        current: readers of the table see nothing, auditors read the
+        candidate state with ``read_staged(wap_id)``, and
+        ``publish_staged(wap_id)`` makes it the next commit (metadata
+        only — no data moves at publish). Crash between stage and
+        publish loses nothing: the staged record protects its files
+        from GC until published or ``abort_staged``-ed.
+
         Returns commit stats. Re-submitting an applied ``batch_id`` is a
         no-op (exactly-once under foreachBatch retry)."""
         if mode not in ("cow", "delta"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if wap_id is not None:
+            self._staged_path(wap_id)  # validate id + fail fast on dup
+            if os.path.exists(self._staged_path(wap_id)):
+                raise ValueError(
+                    f"wap_id {wap_id!r} already has a staged commit — "
+                    f"publish or abort it first")
         if mode == "delta" and batch_id is not None and not self._BATCH_ID_RE.match(batch_id):
             # Non-numeric ids are deduped only via the bounded recent
             # set, degrading to at-least-once after _RECENT_CAP
@@ -1587,7 +1712,20 @@ class LakeTable:
         by_bucket: dict[str, list[dict]] = {}
         for fmeta in new_files:
             by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
-        manifest_path = self._write_manifest(version, by_bucket)
+        if wap_id is None:
+            manifest_path = self._write_manifest(version, by_bucket)
+        else:
+            # staged manifest lives outside the numbered chain — the
+            # version number is provisional until publish, and
+            # manifests are path-referenced everywhere, so the staged
+            # path is first-class once the snapshot commits
+            manifest_path = self._staged_manifest_path(wap_id)
+            os.makedirs(self.staged_dir, exist_ok=True)
+            tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "files": by_bucket}, f,
+                          indent=1)
+            os.replace(tmp, manifest_path)
 
         manifests = {b: list(v) for b, v in snap["manifests"].items()}
         if mode == "cow":
@@ -1613,16 +1751,30 @@ class LakeTable:
         }
         if batch_id is not None:
             self._record_applied(snap2, batch_id)
-        self._append_lineage(
-            version,
-            {
-                "type": "merge",
+        lin_entry = {
+            "type": "merge",
+            "batch_id": batch_id,
+            "merged_rows": merged_rows,
+            "touched_buckets": sorted(touched),
+            **(lineage or {}),
+        }
+        if wap_id is not None:
+            self._write_staged(wap_id, {
+                "wap_id": wap_id,
+                "base_version": snap["version"],
                 "batch_id": batch_id,
+                "snap": snap2,
+                "lineage": lin_entry,
+                "staged_at": time.time(),
+            })
+            return {
+                "staged": True,
+                "wap_id": wap_id,
+                "base_version": snap["version"],
                 "merged_rows": merged_rows,
-                "touched_buckets": sorted(touched),
-                **(lineage or {}),
-            },
-        )
+                "touched_buckets": len(touched),
+            }
+        self._append_lineage(version, lin_entry)
         self._write_snapshot(snap2)
         return {
             "skipped": False,
@@ -1630,3 +1782,132 @@ class LakeTable:
             "merged_rows": merged_rows,
             "touched_buckets": len(touched),
         }
+
+    # --------------------------------------------- write-audit-publish
+
+    @property
+    def staged_dir(self) -> str:
+        return os.path.join(self.meta_dir, "staged")
+
+    def _staged_path(self, wap_id: str) -> str:
+        if not self._REF_NAME_RE.match(wap_id):
+            raise ValueError(
+                f"invalid wap_id {wap_id!r} (want [A-Za-z0-9._-], "
+                f"letter/digit first, <=64 chars)")
+        return os.path.join(self.staged_dir, f"wap-{wap_id}.json")
+
+    def _staged_manifest_path(self, wap_id: str) -> str:
+        return os.path.join(
+            self.staged_dir, f"manifest-wap-{wap_id}.json")
+
+    def _write_staged(self, wap_id: str, rec: dict) -> None:
+        os.makedirs(self.staged_dir, exist_ok=True)
+        path = self._staged_path(wap_id)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"wap_id {wap_id!r} already has a staged commit — "
+                f"publish or abort it first") from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def _staged_rec(self, wap_id: str) -> dict:
+        path = self._staged_path(wap_id)
+        if not os.path.exists(path):
+            raise ValueError(f"no staged commit for wap_id {wap_id!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def staged(self) -> dict[str, dict]:
+        """All staged (unpublished) WAP commits, wap_id -> summary."""
+        if not os.path.isdir(self.staged_dir):
+            return {}
+        out: dict[str, dict] = {}
+        for fn in sorted(os.listdir(self.staged_dir)):
+            if fn.startswith("wap-") and fn.endswith(".json"):
+                with open(os.path.join(self.staged_dir, fn)) as f:
+                    rec = json.load(f)
+                out[rec["wap_id"]] = {
+                    "base_version": rec["base_version"],
+                    "batch_id": rec["batch_id"],
+                    "staged_at": rec["staged_at"],
+                    "merged_rows": rec["lineage"]["merged_rows"],
+                }
+        return out
+
+    def read_staged(
+        self,
+        wap_id: str,
+        columns: list[str] | None = None,
+        between: tuple | None = None,
+    ) -> DataFrame:
+        """The audit read: live rows of the CANDIDATE state the staged
+        commit would produce if published — same semantics and options
+        as ``read()``. Quality gates (row-count deltas, null-rate
+        checks, dedup-rate bounds) run against this before deciding to
+        ``publish_staged`` or ``abort_staged``."""
+        return self._read_snap(
+            self._staged_rec(wap_id)["snap"], columns, between)
+
+    def publish_staged(self, wap_id: str) -> dict:
+        """Promote a staged WAP commit to the table's next snapshot —
+        metadata only, the audited files ARE the published files.
+        Requires the table to still be at the staged commit's base
+        version: the candidate's winner decision and manifest layering
+        were computed against that exact state, so an intervening
+        commit means the audit proved the wrong thing — fail with
+        CommitConflict and re-stage on the new base (Iceberg
+        cherry-pick has the same ancestry guard). Publishing a batch
+        the table meanwhile applied through another path degrades to
+        an abort (exactly-once holds across the WAP seam)."""
+        rec = self._staged_rec(wap_id)
+        cur = self.current_version()
+        if rec["batch_id"] is not None and self.is_applied(rec["batch_id"]):
+            self.abort_staged(wap_id, keep_files=False)
+            return {"skipped": True, "version": cur}
+        if cur != rec["base_version"]:
+            raise CommitConflict(
+                f"staged wap {wap_id!r} was audited against "
+                f"v{rec['base_version']} but the table is at v{cur} — "
+                f"abort and re-stage on the current state")
+        snap2 = rec["snap"]
+        snap2["committed_at"] = time.time()
+        self._append_lineage(
+            snap2["version"], {**rec["lineage"], "wap_id": wap_id})
+        self._write_snapshot(snap2)
+        os.remove(self._staged_path(wap_id))
+        return {
+            "skipped": False,
+            "version": snap2["version"],
+            "merged_rows": rec["lineage"]["merged_rows"],
+            "wap_id": wap_id,
+        }
+
+    def abort_staged(self, wap_id: str, keep_files: bool = False) -> dict:
+        """Drop a staged commit. Its data files become unreferenced
+        residue that ``remove_orphans`` reclaims on the normal
+        maintenance cadence (or immediately — they are already older
+        than their staging record); ``keep_files`` is for forensics."""
+        rec = self._staged_rec(wap_id)
+        os.remove(self._staged_path(wap_id))
+        try:
+            os.remove(self._staged_manifest_path(wap_id))
+        except OSError:
+            pass
+        return {"aborted": wap_id, "base_version": rec["base_version"]}
+
+    def _staged_file_paths(self) -> set[str]:
+        """Data files referenced only by staged (unpublished) WAP
+        commits — protected from expire/GC until published/aborted."""
+        out: set[str] = set()
+        for wap_id in self.staged():
+            for e in self.files(self._staged_rec(wap_id)["snap"]):
+                out.add(e["path"])
+        return out
