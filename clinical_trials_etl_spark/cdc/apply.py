@@ -237,6 +237,7 @@ def apply_batch(
     n_salt: int = DEFAULT_SALT,
     lineage: dict | None = None,
     merge_mode: str | None = None,
+    wap_id: str | None = None,
 ) -> dict:
     """Full apply: evolve -> normalize -> dedup -> MERGE. Idempotent on
     ``batch_id``.
@@ -245,7 +246,12 @@ def apply_batch(
     "delta" (merge-on-read append — O(batch) commit cost, reads
     reconcile, compact() folds; the write-amplification answer when
     micro-batches are small relative to bucket size). Defaults from
-    SPARK_GRAFT_MERGE_MODE."""
+    SPARK_GRAFT_MERGE_MODE.
+
+    ``wap_id``: stage the merge for write-audit-publish instead of
+    committing (LakeTable.merge wap contract; schema evolution still
+    commits directly — an add/rename/widen is metadata the audit
+    can't veto without vetoing the registry itself)."""
     if merge_mode is None:
         merge_mode = os.environ.get("SPARK_GRAFT_MERGE_MODE", "cow")
     ensure_package_on_executors(table.spark)
@@ -311,6 +317,7 @@ def apply_batch(
         # the salted/delta branch pre-dedups per key; telling the merge
         # saves its broadcast plan the redundant batch-wide shuffle
         source_unique=fill is None,
+        wap_id=wap_id,
     )
     stats["evolution_ops"] = ops
 

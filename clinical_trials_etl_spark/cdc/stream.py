@@ -44,6 +44,12 @@ TRANSPORT_SCHEMA = T.StructType(
 )
 
 
+class AuditRejected(Exception):
+    """A streaming epoch's staged candidate failed the audit gate —
+    the candidate was aborted and the epoch's offsets were NOT
+    checkpointed (resume re-delivers and re-audits the same batch)."""
+
+
 class MetricsListener(StreamingQueryListener):
     """Collects micro-batch progress (A14 analog: the reference's batch
     success/dup/fail tallies, utils/batch_utils.py:67-69, upgraded to
@@ -104,6 +110,7 @@ def run_stream(
     views: list[LakeTable] | None = None,
     refresh_views_every: int | None = None,
     fail_after_batches: int | None = None,
+    audit=None,
 ):
     """Process everything currently in ``log_dir`` through streaming
     micro-batches and stop (processAllAvailable). Safe to call again
@@ -151,6 +158,20 @@ def run_stream(
       refreshes) — the feed fails fast on expired ranges rather than
       silently under-counting.
 
+    ``audit``: per-epoch write-audit-publish gate,
+    ``audit(candidate_df, stats) -> bool``. Each epoch's merge is
+    STAGED (LakeTable WAP), the callable inspects the candidate table
+    state (row-count deltas, null rates, dedup bounds — whatever the
+    deployment's quality bar is), and True publishes metadata-only
+    while False aborts and raises AuditRejected. A rejected epoch is
+    never checkpointed, so after the quality incident is fixed the
+    resumed stream re-delivers and re-audits the same batch — the
+    quarantine semantics a production ingest wants (bad data never
+    becomes current, good data is not lost). A crash between stage and
+    publish leaves staged residue the retry aborts and re-stages; a
+    crash between publish and checkpoint is the normal idempotent
+    no-op redelivery.
+
     ``fail_after_batches=N`` is fault injection for tests: raise AFTER
     the N-th applied epoch's lake commit (and its maintenance) but
     BEFORE Structured Streaming checkpoints that epoch's offsets — the
@@ -170,6 +191,12 @@ def run_stream(
 
     def handle(batch_df, epoch_id: int):
         kwargs = {} if n_salt is None else {"n_salt": n_salt}
+        wap = f"epoch-{epoch_id}-audit" if audit is not None else None
+        if wap is not None and wap in table.staged():
+            # residue of a crash between stage and publish on an
+            # earlier attempt of this epoch: the verdict was never
+            # durable, so the retry re-stages and re-audits
+            table.abort_staged(wap)
         stats = apply_batch(
             table,
             batch_df,
@@ -177,8 +204,18 @@ def run_stream(
             registry=registry,
             lineage={"epoch": epoch_id},
             merge_mode=merge_mode,
+            wap_id=wap,
             **kwargs,
         )
+        if wap is not None and stats.get("staged"):
+            if audit(table.read_staged(wap), stats):
+                stats = table.publish_staged(wap)
+            else:
+                table.abort_staged(wap)
+                raise AuditRejected(
+                    f"epoch {epoch_id} rejected by the audit gate — "
+                    f"candidate aborted, offsets not checkpointed; the "
+                    f"resumed stream re-delivers this batch")
         if not stats.get("skipped"):
             applied["n"] += 1
             if compact_every and applied["n"] % compact_every == 0:

@@ -289,3 +289,72 @@ def test_stream_sorted_compaction_enables_windowed_skipping(
         .collect())
     assert sorted(r["url"] for r in win.collect()) == expected
     assert 0 < len(set(win.inputFiles())) < total
+
+
+def test_stream_audit_gate_publishes_when_green(spark, log_dir, tmp_path):
+    """run_stream(audit=...) with a passing gate: every epoch stages,
+    audits, publishes — final state identical to an ungated run, no
+    staged residue, lineage carries the wap ids."""
+    table = create_pages_table(spark, str(tmp_path / "tbl_au"), n_buckets=8)
+    seen = []
+
+    def gate(candidate, stats):
+        # a real deployment's checks: the candidate must be readable
+        # and the merge must not have emptied the table
+        seen.append((candidate.count(), stats["merged_rows"]))
+        return True
+
+    run_stream(spark, log_dir, table, str(tmp_path / "ckpt_au"),
+               max_files_per_trigger=1, audit=gate)
+    assert len(seen) >= 2  # one audit per WAL-file epoch
+    assert table.staged() == {}
+
+    ctl = create_pages_table(spark, str(tmp_path / "tbl_au_ctl"),
+                             n_buckets=8)
+    run_stream(spark, log_dir, ctl, str(tmp_path / "ckpt_au_ctl"),
+               max_files_per_trigger=1)
+    want = {(r["url"], r["text"]) for r in ctl.read().collect()}
+    assert {(r["url"], r["text"]) for r in table.read().collect()} == want
+
+    merges = [e for e in table.lineage() if e["type"] == "merge"]
+    assert len(merges) == len(seen)  # every epoch audited, none slipped
+    assert all(e["wap_id"].endswith("-audit") for e in merges)
+
+
+def test_stream_audit_gate_quarantines_and_resumes(spark, log_dir, tmp_path):
+    """A rejecting gate stops the stream with the bad epoch aborted and
+    NOT checkpointed: the table never shows the rejected data, and the
+    resumed stream (quality bar fixed) re-delivers, re-audits and
+    converges to the ungated result."""
+    table = create_pages_table(spark, str(tmp_path / "tbl_aq"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt_aq")
+    n = {"published": 0}
+
+    def strict(candidate, stats):
+        if n["published"] >= 2:  # reject the 3rd epoch
+            return False
+        n["published"] += 1
+        return True
+
+    with pytest.raises(Exception, match="rejected by the audit gate"):
+        run_stream(spark, log_dir, table, ckpt,
+                   max_files_per_trigger=1, audit=strict)
+    assert table.staged() == {}              # aborted, not stranded
+    merges = [e for e in table.lineage() if e["type"] == "merge"]
+    assert len(merges) == 2                  # only the audited-green epochs
+    v_reject = table.current_version()
+
+    # incident resolved: resume with a passing gate — the rejected
+    # epoch re-delivers (offsets were never committed) and publishes
+    run_stream(spark, log_dir, table, ckpt,
+               max_files_per_trigger=1, audit=lambda c, s: True)
+    merges = [e for e in table.lineage() if e["type"] == "merge"]
+    assert len(merges) > 2 and table.current_version() > v_reject
+    assert table.staged() == {}
+
+    ctl = create_pages_table(spark, str(tmp_path / "tbl_aq_ctl"),
+                             n_buckets=8)
+    run_stream(spark, log_dir, ctl, str(tmp_path / "ckpt_aq_ctl"),
+               max_files_per_trigger=1)
+    want = {(r["url"], r["text"]) for r in ctl.read().collect()}
+    assert {(r["url"], r["text"]) for r in table.read().collect()} == want
