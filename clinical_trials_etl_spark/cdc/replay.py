@@ -18,13 +18,17 @@ from clinical_trials_etl_spark.cdc.stream import TRANSPORT_SCHEMA
 from clinical_trials_etl_spark.lake.table import LakeTable
 
 
-def create_pages_table(spark: SparkSession, root: str, n_buckets: int = 16) -> LakeTable:
+def create_pages_table(
+    spark: SparkSession, root: str, n_buckets: int = 16,
+    key_bloom_bits: int | None = None,
+) -> LakeTable:
     return LakeTable.create(
         spark,
         root,
         fields=PAGES_REGISTRY[1],
         key_field="url",
         n_buckets=n_buckets,
+        key_bloom_bits=key_bloom_bits,
     )
 
 
@@ -51,6 +55,7 @@ def replay(
     batch_prefix: str = "replay",
     merge_mode: str | None = None,
     compact_every: int | None = None,
+    key_bloom_bits: int | None = None,
 ) -> LakeTable:
     """Replay the log into a fresh (or existing, when resuming) table;
     one micro-batch per ``segments_per_batch`` segments.
@@ -71,7 +76,8 @@ def replay(
     if os.path.exists(os.path.join(table_root, "_meta", "_current")):
         table = LakeTable(spark, table_root)
     else:
-        table = create_pages_table(spark, table_root, n_buckets)
+        table = create_pages_table(spark, table_root, n_buckets,
+                                   key_bloom_bits=key_bloom_bits)
     segs = list_segments(log_dir)
     applied = 0
     for i in range(start_segment, len(segs), segments_per_batch):

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-rows-per-file", type=int, default=None,
                    help="split each clustered bucket into sorted "
                         "files of at most this many rows")
+    p.add_argument("--key-bloom-bits", type=int, default=None,
+                   help="record per-file key blooms of this many bits "
+                        "in the manifest at every write (table-create "
+                        "option); point lookups then skip bloom-missing "
+                        "files including delta layers — size >=10 bits "
+                        "per row-per-file")
     return p
 
 
@@ -93,7 +99,8 @@ def main(argv: list[str] | None = None) -> dict:
         if os.path.exists(os.path.join(args.table, "_meta", "_current")):
             table = LakeTable(spark, args.table)
         else:
-            table = create_pages_table(spark, args.table, args.n_buckets)
+            table = create_pages_table(spark, args.table, args.n_buckets,
+                                       key_bloom_bits=args.key_bloom_bits)
         progress = run_stream(
             spark,
             args.log_dir,
@@ -116,7 +123,8 @@ def main(argv: list[str] | None = None) -> dict:
         }
     else:
         table = replay(spark, args.log_dir, args.table,
-                       n_buckets=args.n_buckets, n_salt=args.n_salt)
+                       n_buckets=args.n_buckets, n_salt=args.n_salt,
+                       key_bloom_bits=args.key_bloom_bits)
         result = {
             "mode": "replay",
             "version": table.current_version(),

@@ -187,8 +187,22 @@ class LakeTable:
         fields: list[dict],
         key_field: str,
         n_buckets: int = 16,
+        key_bloom_bits: int | None = None,
     ) -> "LakeTable":
-        """fields: [{"id": int, "name": str, "type": str}, ...]"""
+        """fields: [{"id": int, "name": str, "type": str}, ...]
+
+        ``key_bloom_bits``: record a per-file key bloom filter of this
+        many bits in the manifest at every write (see
+        ``_attach_key_blooms``). Point lookups then skip bloom-missing
+        files — including DELTA LAYERS, which min/max stats must not
+        skip — so a lookup on a layer-accreting streaming table stays
+        O(files-holding-the-key) between compactions. Size at >=10
+        bits per row-per-file for ~1% false positives (a false
+        positive only costs reading one extra file). Off by default:
+        each merge pays one extra narrow Spark job to build the blooms."""
+        if key_bloom_bits is not None and (
+                key_bloom_bits < 64 or key_bloom_bits % 64):
+            raise ValueError("key_bloom_bits must be a multiple of 64")
         table = cls(spark, root)
         os.makedirs(table.meta_dir, exist_ok=True)
         os.makedirs(table.lineage_dir, exist_ok=True)
@@ -198,6 +212,8 @@ class LakeTable:
             "parent": None,
             "schema": {"fields": fields, "key": key_field},
             "n_buckets": n_buckets,
+            **({"key_bloom_bits": key_bloom_bits}
+               if key_bloom_bits else {}),
             "manifests": {},       # bucket (str) -> manifest file path
             "batch_hwm": {},       # batch-id prefix -> max numeric suffix
             "applied_recent": [],  # bounded set for non-numeric ids
@@ -641,6 +657,7 @@ class LakeTable:
         lo,
         hi,
         buckets: set[int] | None = None,
+        entries: list[dict] | None = None,
     ) -> DataFrame:
         """Reconciled read that SKIPS files whose manifest ``[min,max]``
         for ``col`` is disjoint from ``[lo, hi]`` — before any scan
@@ -655,7 +672,12 @@ class LakeTable:
         (and in-range) row would then wrongly resurrect. The row-level
         BETWEEN filter is applied by the caller in both cases, post
         reconciliation — stats only skip, they never substitute for
-        the filter."""
+        the filter.
+
+        ``entries``: explicit file-entry list to plan from instead of
+        ``files(snap, buckets)`` — the seam lookup() uses after its
+        bloom pre-filter (which, being key-exact, may soundly drop
+        delta files this method must keep for RANGE predicates)."""
         key = self.key_field(snap)
         fields = self.fields(snap)
         col_id = next(
@@ -676,7 +698,8 @@ class LakeTable:
             fields = [f for f in fields if f["name"] in set(cols)]
 
         by_bucket: dict[int, list[dict]] = {}
-        for e in self.files(snap, buckets):
+        for e in (self.files(snap, buckets)
+                  if entries is None else entries):
             by_bucket.setdefault(e["bucket"], []).append(e)
         base: list[dict] = []
         layered: list[dict] = []
@@ -778,16 +801,49 @@ class LakeTable:
         point lookup from ONE of its k-row files — sorted compaction
         on the key buys lookups the same O(window) behavior it buys
         time windows. Keys longer than the recorded-stat cap simply
-        read the whole bucket (stats absent, never wrong)."""
+        read the whole bucket (stats absent, never wrong).
+
+        On a table created with ``key_bloom_bits``, manifest blooms
+        pre-filter the bucket's files — INCLUDING delta layers, which
+        the min/max rule must keep: a bloom miss is key-exact ('this
+        key is definitely not in this file'), so dropping the file
+        cannot change this key's winner reconciliation. That keeps
+        point lookups O(files-holding-the-key) on a layer-accreting
+        streaming table even between compactions. An absent bloom or
+        a phys-type mismatch (widened key) keeps the file — skipping
+        is an optimization, never an oracle."""
         snap = self.snapshot()
         key = self.key_field(snap)
-        bucket = (
-            self.spark.range(1)
-            .select(self.bucket_expr(F.lit(key_value)).alias("b"))
-            .collect()[0]["b"]
+        m_bits = snap.get("key_bloom_bits")
+        key_type = next(f["type"] for f in self.fields(snap)
+                        if f["name"] == key)
+        fid = next(f["id"] for f in self.fields(snap)
+                   if f["name"] == key)
+        lit_k = F.lit(key_value).cast(_spark_type(key_type))
+        sel = [self.bucket_expr(lit_k).alias("b")] + (
+            [] if not m_bits else
+            [self._bloom_probe_expr(lit_k, j, m_bits).alias(f"p{j}")
+             for j in range(self._BLOOM_K)]
         )
+        row = self.spark.range(1).select(*sel).collect()[0]
+        bucket = row["b"]
+        entries = None
+        if m_bits:
+            probes = [row[f"p{j}"] for j in range(self._BLOOM_K)]
+            phys_key = f"f_{fid}"
+
+            def _may_contain(e: dict) -> bool:
+                bloom = e.get("key_bloom")
+                if bloom is None or e["phys"].get(phys_key) != key_type:
+                    return True  # no/unusable bloom: never skip
+                return all(
+                    (bloom[p // 64] >> (p % 64)) & 1 for p in probes)
+
+            entries = [e for e in self.files(snap, {bucket})
+                       if _may_contain(e)]
         df = self._read_skipping(
-            snap, None, key, key_value, key_value, buckets={bucket})
+            snap, None, key, key_value, key_value, buckets={bucket},
+            entries=entries)
         return (
             df.filter(F.col(key) == key_value)
             .filter(~F.col(SYS_DELETED))
@@ -1108,6 +1164,7 @@ class LakeTable:
             w = w.option("maxRecordsPerFile", int(rows_per_file))
         w.partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = self._collect_written_files(out_dir, phys)[0]
+        self._attach_key_blooms(snap, new_files)
 
         version = snap["version"] + 1
         by_bucket: dict[str, list[dict]] = {}
@@ -1172,6 +1229,7 @@ class LakeTable:
             .parquet(out_dir)
         )
         new_files = self._collect_written_files(out_dir, phys)[0]
+        self._attach_key_blooms(snap, new_files)
 
         version = snap["version"] + 1
         by_bucket: dict[str, list[dict]] = {}
@@ -1414,6 +1472,69 @@ class LakeTable:
                          "stats": stats}
                     )
         return new_files, total_rows
+
+    _BLOOM_K = 4  # probes per key; fpp ~ (1 - e^(-K*n/m))^K
+
+    @staticmethod
+    def _bloom_probe_expr(key_col, j: int, m_bits: int) -> F.Column:
+        """Probe j's bit position for a key: an independent hash per
+        probe via xxhash64 over the (key, probe-index) tuple — no
+        h1+j*h2 arithmetic, which would overflow long under ANSI mode.
+        MUST stay identical between write (_attach_key_blooms) and
+        lookup; both sides evaluate it in Spark so the hash is the
+        same implementation bit-for-bit."""
+        return F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(m_bits))
+
+    def _attach_key_blooms(self, snap: dict,
+                           new_files: list[dict]) -> None:
+        """Record a per-file bloom filter over the key column in each
+        manifest entry (Parquet/Iceberg bloom-filter analog, held at
+        the manifest so skipping needs no file I/O at all). ONE narrow
+        distributed job over the just-written files' key column —
+        O(batch) work reading a single column, never a driver-side
+        data read. Files whose bloom cannot be computed simply get no
+        entry (absent bloom == never skipped)."""
+        m_bits = snap.get("key_bloom_bits")
+        if not m_bits or not new_files:
+            return
+        key = self.key_field(snap)
+        fid = next(f["id"] for f in self.fields(snap) if f["name"] == key)
+        phys_key = f"f_{fid}"
+        key_type = new_files[0]["phys"].get(phys_key)
+        if key_type is None:
+            return
+        n_words = m_bits // 64
+        schema = T.StructType([T.StructField(phys_key,
+                                             _spark_type(key_type))])
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*[e["path"] for e in new_files])
+            .select(F.input_file_name().alias("_f"),
+                    F.col(phys_key).alias("_k"))
+        )
+        for j in range(self._BLOOM_K):
+            df = df.withColumn(
+                f"_p{j}", self._bloom_probe_expr(F.col("_k"), j, m_bits))
+        # per row and word w: OR of SHIFTLEFT(1, p%64) for probes
+        # landing in w; bit_or-aggregated per file
+        aggs = []
+        for w in range(n_words):
+            terms = " | ".join(
+                f"(CASE WHEN (_p{j} DIV 64) = {w} THEN "
+                f"SHIFTLEFT(1L, CAST(_p{j} % 64 AS INT)) ELSE 0L END)"
+                for j in range(self._BLOOM_K))
+            aggs.append(F.bit_or(F.expr(terms)).alias(f"w{w}"))
+        from urllib.parse import unquote, urlparse
+
+        blooms = {
+            unquote(urlparse(r["_f"]).path):
+                [r[f"w{w}"] for w in range(n_words)]
+            for r in df.groupBy("_f").agg(*aggs).collect()
+        }
+        for e in new_files:
+            words = blooms.get(os.path.abspath(e["path"]))
+            if words is not None:
+                e["key_bloom"] = words
 
     def bucket_expr(self, key_col) -> F.Column:
         n = self.snapshot()["n_buckets"]
@@ -1698,6 +1819,7 @@ class LakeTable:
         write_df.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
 
         new_files, merged_rows = self._collect_written_files(out_dir, phys)
+        self._attach_key_blooms(snap, new_files)
         if mode == "delta":
             for fmeta in new_files:
                 fmeta["delta"] = True
@@ -1744,6 +1866,8 @@ class LakeTable:
             "parent": snap["version"],
             "schema": snap["schema"],
             "n_buckets": snap["n_buckets"],
+            **({"key_bloom_bits": snap["key_bloom_bits"]}
+               if "key_bloom_bits" in snap else {}),
             "manifests": manifests,
             "batch_hwm": dict(snap["batch_hwm"]),
             "applied_recent": list(snap["applied_recent"]),
