@@ -47,7 +47,12 @@ TRANSPORT_SCHEMA = T.StructType(
 class AuditRejected(Exception):
     """A streaming epoch's staged candidate failed the audit gate —
     the candidate was aborted and the epoch's offsets were NOT
-    checkpointed (resume re-delivers and re-audits the same batch)."""
+    checkpointed (resume re-delivers and re-audits the same batch).
+
+    ``run_stream`` raises THIS type to its caller: the rejection
+    happens inside the foreachBatch callback, which Structured
+    Streaming wraps in a StreamingQueryException — run_stream unwraps
+    it so quarantine handling can be a plain ``except AuditRejected``."""
 
 
 class MetricsListener(StreamingQueryListener):
@@ -188,6 +193,7 @@ def run_stream(
     )
 
     applied = {"n": 0}
+    rejected: dict[str, object] = {}
 
     def handle(batch_df, epoch_id: int):
         kwargs = {} if n_salt is None else {"n_salt": n_salt}
@@ -212,6 +218,10 @@ def run_stream(
                 stats = table.publish_staged(wap)
             else:
                 table.abort_staged(wap)
+                # Structured Streaming wraps exceptions raised here in
+                # a StreamingQueryException — record the rejection so
+                # awaitTermination's catch can re-raise the real type
+                rejected["epoch"] = epoch_id
                 raise AuditRejected(
                     f"epoch {epoch_id} rejected by the audit gate — "
                     f"candidate aborted, offsets not checkpointed; the "
@@ -262,7 +272,16 @@ def run_stream(
         .start()
     )
     try:
-        query.awaitTermination()
+        try:
+            query.awaitTermination()
+        except Exception as exc:
+            if rejected:
+                raise AuditRejected(
+                    f"epoch {rejected['epoch']} rejected by the audit "
+                    f"gate — candidate aborted, offsets not "
+                    f"checkpointed; the resumed stream re-delivers "
+                    f"this batch") from exc
+            raise
         # listener events are delivered asynchronously; drain before flush
         import time as _time
 

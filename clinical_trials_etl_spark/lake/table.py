@@ -411,7 +411,16 @@ class LakeTable:
 
     def _append_lineage(self, version: int, entry: dict) -> None:
         """Per-commit lineage sidecar — O(1) per commit instead of
-        rewriting the whole history into every snapshot."""
+        rewriting the whole history into every snapshot.
+
+        Ordering contract: callers write the SNAPSHOT first (the
+        atomic create-if-absent link that decides the commit race) and
+        the sidecar second. The authoritative copy of the entry rides
+        INSIDE the snapshot (``snap["lineage"]``), so a crash between
+        the two writes loses nothing and a lineage file can never
+        describe a version that a competing commit actually won — the
+        sidecar is a listing convenience, reconciled from snapshots by
+        ``_lineage_entry``."""
         os.makedirs(self.lineage_dir, exist_ok=True)
         path = os.path.join(self.lineage_dir, f"lin-{version:08d}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -421,7 +430,15 @@ class LakeTable:
 
     def _lineage_entry(self, version: int) -> dict | None:
         """The single lineage entry for a commit, or None (v1 CREATE
-        and snapshot-expiry write no entry)."""
+        and snapshot-expiry write no entry). The snapshot's embedded
+        copy is authoritative (committed atomically with the version);
+        the sidecar covers tables written before embedding existed."""
+        snap_path = self._snap_path(version)
+        if os.path.exists(snap_path):
+            with open(snap_path) as f:
+                snap = json.load(f)
+            if "lineage" in snap:
+                return snap["lineage"]
         path = os.path.join(self.lineage_dir, f"lin-{version:08d}.json")
         if not os.path.exists(path):
             return None
@@ -429,14 +446,24 @@ class LakeTable:
             return json.load(f)
 
     def lineage(self) -> list[dict]:
-        """All lineage entries in commit order (reads the sidecar dir)."""
-        if not os.path.isdir(self.lineage_dir):
-            return []
+        """All lineage entries in commit order. Resolved per version
+        through ``_lineage_entry`` (snapshot-embedded copy first), so a
+        crash between a commit and its sidecar write cannot drop the
+        committed entry from the listing; sidecar-only entries (from
+        snapshots later removed by hand) still appear."""
+        versions: set[int] = set()
+        if os.path.isdir(self.lineage_dir):
+            for fn in os.listdir(self.lineage_dir):
+                if fn.startswith("lin-") and fn.endswith(".json"):
+                    versions.add(int(fn[4:-5]))
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                versions.add(int(fn[5:-5]))
         out = []
-        for fn in sorted(os.listdir(self.lineage_dir)):
-            if fn.startswith("lin-") and fn.endswith(".json"):
-                with open(os.path.join(self.lineage_dir, fn)) as f:
-                    out.append(json.load(f))
+        for v in sorted(versions):
+            e = self._lineage_entry(v)
+            if e is not None:
+                out.append(e)
         return out
 
     # ---------------------------------------------------------- files
@@ -527,10 +554,10 @@ class LakeTable:
                 else self.registry_version(snap)
             ),
         }
-        self._append_lineage(
-            snap2["version"], {"type": "schema-evolution", "note": note}
-        )
+        lin = {"type": "schema-evolution", "note": note}
+        snap2["lineage"] = lin
         self._write_snapshot(snap2)
+        self._append_lineage(snap2["version"], lin)
 
     # ------------------------------------------------------------ read
 
@@ -1181,12 +1208,11 @@ class LakeTable:
         snap2["parent"] = snap["version"]
         snap2["manifests"] = manifests
         snap2["committed_at"] = time.time()
-        self._append_lineage(
-            version,
-            {"type": "compaction", "buckets": sorted(fat),
-             **({"sort_by": sort_cols} if sort_by else {})},
-        )
+        lin = {"type": "compaction", "buckets": sorted(fat),
+               **({"sort_by": sort_cols} if sort_by else {})}
+        snap2["lineage"] = lin
         self._write_snapshot(snap2)
+        self._append_lineage(version, lin)
         return {"compacted_buckets": len(fat), "version": version}
 
     def rebucket(self, n_buckets: int) -> dict:
@@ -1243,15 +1269,14 @@ class LakeTable:
         # the old layout's manifests are fully superseded
         snap2["manifests"] = {b: [manifest_path] for b in by_bucket}
         snap2["committed_at"] = time.time()
-        self._append_lineage(
-            version,
-            {
-                "type": "rebucket",
-                "from": snap["n_buckets"],
-                "to": n_buckets,
-            },
-        )
+        lin = {
+            "type": "rebucket",
+            "from": snap["n_buckets"],
+            "to": n_buckets,
+        }
+        snap2["lineage"] = lin
         self._write_snapshot(snap2)
+        self._append_lineage(version, lin)
         out = {"rebucketed": True, "version": version,
                "n_buckets": n_buckets}
         iceberg_table = os.environ.get("SPARK_GRAFT_ICEBERG_TABLE")
@@ -1319,7 +1344,7 @@ class LakeTable:
                 continue
             with open(os.path.join(self.meta_dir, fn)) as f:
                 snap = json.load(f)
-            lin = self._lineage_entry(snap["version"])
+            lin = snap.get("lineage") or self._lineage_entry(snap["version"])
             out.append({
                 "version": snap["version"],
                 "parent": snap["parent"],
@@ -1373,9 +1398,10 @@ class LakeTable:
         snap2["version"] = cur + 1
         snap2["parent"] = cur
         snap2["committed_at"] = time.time()
-        self._append_lineage(
-            cur + 1, {"type": "rollback", "to": version})
+        lin = {"type": "rollback", "to": version}
+        snap2["lineage"] = lin  # replace the target's embedded entry
         self._write_snapshot(snap2)
+        self._append_lineage(cur + 1, lin)
         return {"rolled_back_to": version, "version": cur + 1}
 
     def remove_orphans(self, older_than_s: float = 86400.0) -> dict:
@@ -1526,15 +1552,28 @@ class LakeTable:
             aggs.append(F.bit_or(F.expr(terms)).alias(f"w{w}"))
         from urllib.parse import unquote, urlparse
 
+        # realpath on BOTH sides: input_file_name() returns a URI whose
+        # unquoted path may differ from the manifest's path through a
+        # symlinked table root or mount alias — an unmatched join here
+        # would silently disable the feature (no bloom == never skip)
         blooms = {
-            unquote(urlparse(r["_f"]).path):
+            os.path.realpath(unquote(urlparse(r["_f"]).path)):
                 [r[f"w{w}"] for w in range(n_words)]
             for r in df.groupBy("_f").agg(*aggs).collect()
         }
+        matched = 0
         for e in new_files:
-            words = blooms.get(os.path.abspath(e["path"]))
+            words = blooms.get(os.path.realpath(e["path"]))
             if words is not None:
                 e["key_bloom"] = words
+                matched += 1
+        if blooms and not matched:
+            import warnings
+
+            warnings.warn(
+                f"key-bloom build matched none of {len(new_files)} new "
+                f"files (path normalization mismatch?) — lookups will "
+                f"not skip these files", RuntimeWarning, stacklevel=2)
 
     def bucket_expr(self, key_col) -> F.Column:
         n = self.snapshot()["n_buckets"]
@@ -1898,8 +1937,9 @@ class LakeTable:
                 "merged_rows": merged_rows,
                 "touched_buckets": len(touched),
             }
-        self._append_lineage(version, lin_entry)
+        snap2["lineage"] = lin_entry
         self._write_snapshot(snap2)
+        self._append_lineage(version, lin_entry)
         return {
             "skipped": False,
             "version": snap2["version"],
@@ -1990,10 +2030,24 @@ class LakeTable:
         CommitConflict and re-stage on the new base (Iceberg
         cherry-pick has the same ancestry guard). Publishing a batch
         the table meanwhile applied through another path degrades to
-        an abort (exactly-once holds across the WAP seam)."""
+        an abort (exactly-once holds across the WAP seam).
+
+        The staged manifest is ADOPTED into the numbered manifest
+        chain (hard-linked to ``manifest-<version>.json``) and every
+        snapshot pointer rewritten to the numbered path BEFORE the
+        snapshot commits. Committed snapshots therefore never
+        reference a ``staged/`` path — so a later re-use of the same
+        ``wap_id`` (a recurring 'nightly-audit' id) re-stages into a
+        filename nothing committed depends on, and ``abort_staged``
+        can always delete staged metadata without breaking committed
+        reads."""
         rec = self._staged_rec(wap_id)
         cur = self.current_version()
         if rec["batch_id"] is not None and self.is_applied(rec["batch_id"]):
+            # applied through another path (or this publish's own
+            # crashed earlier attempt) — the staged record is obsolete;
+            # abort_staged's referenced-file guard keeps any file a
+            # committed snapshot adopted
             self.abort_staged(wap_id, keep_files=False)
             return {"skipped": True, "version": cur}
         if cur != rec["base_version"]:
@@ -2002,11 +2056,31 @@ class LakeTable:
                 f"v{rec['base_version']} but the table is at v{cur} — "
                 f"abort and re-stage on the current state")
         snap2 = rec["snap"]
+        version = snap2["version"]
+        staged_man = self._staged_manifest_path(wap_id)
+        man_path = self._manifest_path(version)
+        if os.path.exists(man_path):
+            if os.path.exists(self._snap_path(version)):
+                raise CommitConflict(
+                    f"manifest for version {version} belongs to an "
+                    f"already-committed snapshot from a concurrent "
+                    f"writer")
+            os.remove(man_path)  # crashed earlier attempt's residue
+        os.link(staged_man, man_path)
+        snap2["manifests"] = {
+            b: [man_path if p == staged_man else p for p in lst]
+            for b, lst in snap2["manifests"].items()
+        }
         snap2["committed_at"] = time.time()
-        self._append_lineage(
-            snap2["version"], {**rec["lineage"], "wap_id": wap_id})
+        lin = {**rec["lineage"], "wap_id": wap_id}
+        snap2["lineage"] = lin
         self._write_snapshot(snap2)
+        self._append_lineage(version, lin)
         os.remove(self._staged_path(wap_id))
+        try:
+            os.remove(staged_man)  # the numbered hard link remains
+        except OSError:
+            pass
         return {
             "skipped": False,
             "version": snap2["version"],
@@ -2015,17 +2089,46 @@ class LakeTable:
         }
 
     def abort_staged(self, wap_id: str, keep_files: bool = False) -> dict:
-        """Drop a staged commit. Its data files become unreferenced
-        residue that ``remove_orphans`` reclaims on the normal
-        maintenance cadence (or immediately — they are already older
-        than their staging record); ``keep_files`` is for forensics."""
+        """Drop a staged commit. With ``keep_files=False`` (default)
+        the staged merge's own data files are deleted immediately —
+        except any file a committed snapshot references (a crashed
+        publish may have adopted this staging's manifest before its
+        cleanup ran; the reference check is one driver-side metadata
+        scan and only runs when there are files to consider).
+        ``keep_files=True`` leaves them as unreferenced residue for
+        forensics; ``remove_orphans`` reclaims them on the normal
+        maintenance cadence."""
         rec = self._staged_rec(wap_id)
+        staged_man = self._staged_manifest_path(wap_id)
+        removed = 0
+        if not keep_files and os.path.exists(staged_man):
+            with open(staged_man) as f:
+                man = json.load(f)
+            own = {e["path"] for group in man["files"].values()
+                   for e in group}
+            if own:
+                referenced: set[str] = set()
+                for fn in os.listdir(self.meta_dir):
+                    if not (fn.startswith("snap-")
+                            and fn.endswith(".json")):
+                        continue
+                    with open(os.path.join(self.meta_dir, fn)) as f:
+                        snap = json.load(f)
+                    for e in self.files(snap):
+                        referenced.add(e["path"])
+                for p in own - referenced:
+                    try:
+                        os.remove(p)
+                        removed += 1
+                    except OSError:
+                        pass
         os.remove(self._staged_path(wap_id))
         try:
-            os.remove(self._staged_manifest_path(wap_id))
+            os.remove(staged_man)
         except OSError:
             pass
-        return {"aborted": wap_id, "base_version": rec["base_version"]}
+        return {"aborted": wap_id, "base_version": rec["base_version"],
+                "removed_files": removed}
 
     def _staged_file_paths(self) -> set[str]:
         """Data files referenced only by staged (unpublished) WAP

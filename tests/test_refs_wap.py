@@ -184,10 +184,17 @@ def test_wap_files_protected_until_abort(spark, tmp_path):
         ("u1", "a"), ("u2", "b"), ("u3", "c")}
     t.publish_staged("w1")
     assert ("u3", "c") in _state(t)
-    # an aborted candidate IS residue — reclaimed on the next sweep
+    # default abort deletes the candidate's exclusive files right away
     t.merge(_batch(spark, [("u4", "d", 6, "I")]), batch_id="e-3",
             wap_id="w2")
-    t.abort_staged("w2")
+    out = t.abort_staged("w2")
+    assert out["removed_files"] > 0
+    assert t.remove_orphans(older_than_s=0.0)["removed_files"] == 0
+    # keep_files=True leaves forensic residue for the normal GC sweep
+    t.merge(_batch(spark, [("u5", "e", 7, "I")]), batch_id="e-4",
+            wap_id="w3")
+    out = t.abort_staged("w3", keep_files=True)
+    assert out["removed_files"] == 0
     assert t.remove_orphans(older_than_s=0.0)["removed_files"] > 0
     assert _state(t) == {("u1", "a"), ("u2", "b"), ("u3", "c")}
 
@@ -207,3 +214,59 @@ def test_wap_duplicate_id_and_missing_id(spark, tmp_path):
     # staging never dirtied the numbered chain
     assert t.current_version() == 1
     assert not os.path.exists(t._manifest_path(2))
+
+
+def test_wap_id_reuse_cannot_corrupt_committed_state(spark, tmp_path):
+    """Recurring wap_id (the 'nightly-audit' pattern): publish adopts
+    the staged manifest into the numbered chain, so re-staging the
+    same id later writes a filename NOTHING committed references —
+    re-use plus abort must leave every published snapshot byte-intact
+    (round-4 ADVICE high: the old deterministic staged path was
+    silently overwritten by the second staging and deleted by its
+    abort, corrupting committed reads)."""
+    t = _make(spark, tmp_path)
+    t.merge(_batch(spark, [("u3", "c", 5, "I")]), batch_id="e-2",
+            wap_id="nightly-audit")
+    t.publish_staged("nightly-audit")
+    published = _state(t)
+    v_published = t.current_version()
+    # committed snapshot must not point into staged/
+    assert all(
+        "staged" not in p
+        for paths in t.snapshot()["manifests"].values() for p in paths)
+
+    # next night: same id, different batch — stage then ABORT
+    t.merge(_batch(spark, [("u9", "z", 9, "I")]), batch_id="e-3",
+            wap_id="nightly-audit")
+    assert _state(t) == published        # staging changed nothing
+    t.abort_staged("nightly-audit")
+
+    # the published version still reads, lists files, and GCs cleanly
+    assert _state(t, v_published) == published
+    assert _state(t) == published
+    assert all(os.path.exists(e["path"]) for e in t.files())
+    t.remove_orphans(older_than_s=0.0)   # must not crash or eat data
+    assert _state(t) == published
+    # and a third staging of the same id still round-trips
+    t.merge(_batch(spark, [("u4", "d", 6, "I")]), batch_id="e-3",
+            wap_id="nightly-audit")
+    t.publish_staged("nightly-audit")
+    assert ("u4", "d") in _state(t)
+
+
+def test_lineage_survives_lost_sidecar(spark, tmp_path):
+    """Commit ordering: the snapshot (with its embedded lineage entry)
+    commits FIRST, the sidecar is written after — so a crash between
+    the two cannot lose the committed entry. Simulate the crash window
+    by deleting a merge commit's sidecar: lineage(), history() and the
+    change feed must still see the commit (round-4 ADVICE low: the old
+    sidecar-first order could misattribute a raced commit)."""
+    t = _make(spark, tmp_path)
+    t.merge(_batch(spark, [("u3", "c", 5, "I")]), batch_id="e-2")
+    v = t.current_version()
+    os.remove(os.path.join(t.lineage_dir, f"lin-{v:08d}.json"))
+    assert t._lineage_entry(v)["type"] == "merge"
+    assert [e["type"] for e in t.lineage()].count("merge") == 2
+    assert t.history()[0]["operation"] == "merge"
+    feed = t.changes(v - 1, v)
+    assert {r["url"] for r in feed.collect()} == {"u3"}

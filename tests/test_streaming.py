@@ -336,7 +336,11 @@ def test_stream_audit_gate_quarantines_and_resumes(spark, log_dir, tmp_path):
         n["published"] += 1
         return True
 
-    with pytest.raises(Exception, match="rejected by the audit gate"):
+    # run_stream unwraps Structured Streaming's StreamingQueryException
+    # so quarantine handling can catch the REAL type (ADVICE round 4)
+    from clinical_trials_etl_spark.cdc.stream import AuditRejected
+
+    with pytest.raises(AuditRejected, match="rejected by the audit gate"):
         run_stream(spark, log_dir, table, ckpt,
                    max_files_per_trigger=1, audit=strict)
     assert table.staged() == {}              # aborted, not stranded
