@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinical_trials_etl_spark.functions import normalize as N
+from clinical_trials_etl_spark.operators.common import dim_broadcast
 
 # ---------------------------------------------------------------- helpers
 
@@ -580,7 +581,7 @@ def q_j4_revenue_by_nation(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -609,7 +610,7 @@ def q_j4b_parttype_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_type")
         .agg(
             dec2dbl(F.sum(money(F.col("l_extendedprice")))).alias("total_price"),

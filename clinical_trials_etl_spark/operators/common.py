@@ -3,6 +3,40 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_broadcast(df: DataFrame) -> DataFrame:
+    """Size-conditional broadcast hint for a dimension side of a join.
+
+    ``F.broadcast`` is unconditional: at sandbox scale it is the right
+    plan for customer/part/supplier dims, but at 100× (customer ≈ 15M
+    rows at sf100) the same hint OOMs the driver instead of degrading
+    to a shuffle join. This helper applies the hint only when
+    Catalyst's own size estimate for the (filtered, pruned) plan is
+    under ``spark.sql.autoBroadcastJoinThreshold`` — above it the
+    frame is returned unhinted and the planner/AQE picks the join
+    strategy, which is exactly the degradation a 1000-executor run
+    needs. Genuinely tiny dims (nation/region/band literals) keep the
+    plain unconditional hint at their call sites.
+
+    The estimate is driver-side plan metadata (optimizedPlan stats —
+    file sizes for scans), no job is run."""
+    spark = df.sparkSession
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                            "10485760")
+    t = str(thresh).lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if t.endswith(suffix):
+            t, mult = t[:-1], m
+            break
+    limit = int(t) * mult
+    if limit < 0:  # broadcast disabled outright
+        return df
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return F.broadcast(df) if est <= limit else df
 
 
 def scan_parallel(df: DataFrame) -> DataFrame:

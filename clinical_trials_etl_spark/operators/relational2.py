@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from clinical_trials_etl_spark.functions import normalize as N
 from clinical_trials_etl_spark.operators.analytics import dec2dbl, money, t
+from clinical_trials_etl_spark.operators.common import dim_broadcast
 
 # ---------------------------------------------------------------- filters
 
@@ -334,7 +335,7 @@ def q_q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(dec2dbl(F.sum(revenue)).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
@@ -373,9 +374,9 @@ def q_q5_supplier_volume(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_broadcast(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            dim_broadcast(s),
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
@@ -410,7 +411,7 @@ def q_w2b_top_order_per_segment(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    joined = o.join(dim_broadcast(c), o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), "o_orderkey"
     )

@@ -26,6 +26,36 @@ def test_j4_dims_are_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dim_broadcast_gates_on_size(spark, sf_dir):
+    """The customer/part/supplier hints are size-conditional
+    (VERDICT r4 #3): hinted while Catalyst's estimate fits under
+    autoBroadcastJoinThreshold, returned UNhinted above it so the
+    planner degrades to a shuffle join instead of OOMing the driver
+    at 100× scale. Tiny dims (nation/region/bands) keep the plain
+    unconditional F.broadcast at their call sites."""
+    from clinical_trials_etl_spark.operators.common import dim_broadcast
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        assert dim_broadcast(c) is not c   # sandbox scale: hinted
+        spark.conf.set(key, "1024")        # pretend customer is huge
+        assert dim_broadcast(c) is c       # degrades: planner decides
+        # plan-level, both ways: at the forced-low threshold only the
+        # unconditionally-hinted tiny dims (nation, region) broadcast;
+        # customer joins via shuffle
+        plan = _plan(A.q_j4_revenue_by_nation(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        spark.conf.set(key, "-1")          # broadcast disabled outright
+        assert dim_broadcast(c) is c
+    finally:
+        spark.conf.set(key, old)
+    plan = _plan(A.q_j4_revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # c, n, r all broadcast
+
+
 def test_multi_field_extractor_evaluates_udf_once(spark, sf_dir):
     df = HQ.q_html_selector_fields(spark, sf_dir)
     plan = _plan(df)
