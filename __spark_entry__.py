@@ -36,62 +36,72 @@ _REGISTRIES = [
 ]
 
 
-# Round-4 re-certification front (driver records the first 50 merged
-# entries in insertion order; VERDICT.md round-3 items 1-2):
-#  - the 7 queries (LSH/simhash/ANN/near-dup/IVF/mm_feature/a3b) that
-#    have NEVER had a driver row — rounds 1-3 always placed them (all
-#    rows-only then) behind the 76 SQL-oracled entries, outside the
-#    50-row window. mm_feature_extract gained a full DuckDB oracle in
-#    round 4 (sha256 hex-slice twin); the other six stay rows-only,
-#    where the driver record (row-count + schema + no-crash) is still
-#    independent signal the repo's own tests can't provide;
-#  - html_adversarial_text (new this round): driver-oracled
-#    certification of the round-3 fast-path risk guard on pages that
-#    exercise its parser and degradation branches;
-#  - then the 26 oracled queries whose newest driver row is round-2
-#    (the analytics/window/predicate/join tail — code byte-unchanged
-#    since, per VERDICT.md, but their hard signal would otherwise turn
-#    two rounds old). The remaining ~16 slots fill in registry order
-#    with round-3-fresh queries; everything is additionally covered
-#    every run by tests/test_oracle_parity.py at sf0.001 and sf0.01.
+# Round-5 re-certification front (driver records the first 50 merged
+# entries in insertion order; VERDICT.md round-4 item 2):
+#  - first, the 35 queries whose newest driver row is round-3 (the
+#    f*/relational2/events/olap/multimodal tail — the r4 correctness
+#    set-difference). Their code was byte-unchanged through round 4,
+#    but after round 5 every registered query's driver row should be
+#    <=1 round old;
+#  - then the three queries whose CODE changed this round and need a
+#    fresh value-checked row: j4/j4b (customer/part broadcast hints
+#    became size-conditional via dim_broadcast — q3/q5/w2b, also
+#    touched, are already in the 35 above) and p11 (round-4 driver
+#    number was a harness ordering artifact; a fresh row under the
+#    new ordering closes the provenance nit);
+#  - then the 6 inherently rows-only queries (xxhash64/HLL internals
+#    have no DuckDB twin) so their independent row-count+schema signal
+#    stays fresh. The remaining ~6 slots fill in registry order (the
+#    html suite — r4-green, code unchanged); everything is additionally
+#    value-checked every run by tests/test_oracle_parity.py at two SFs.
 _RECERT_FRONT = [
-    # never driver-checked (rows-only)
+    # newest driver row is round-3 — refresh before it turns 2 old
+    "f2_clean_text",
+    "f3_normalize_string",
+    "f4_normalize_number",
+    "f5_normalize_date",
+    "f6_normalize_boolean",
+    "f7_extract_year",
+    "f8_duration",
+    "f9_is_date_valid",
+    "f10_age_range",
+    "f11_normalize_country",
+    "f12_normalize_phase",
+    "f13_list_preview",
+    "p4_match_notnull",
+    "p8_project_rename",
+    "p9_equality_filter",
+    "p10_complete_info",
+    "p12_prefix_autocomplete",
+    "j2_explode_parent_key",
+    "j3b_active_customers",
+    "j5_asof_last_click",
+    "j6_value_band_rollup",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "s14_point_lookup",
+    "a14_batch_tally",
+    "a15_pivot_user_event_matrix",
+    "a17b_value_percentiles_approx",
+    "w2b_top_order_per_segment",
+    "w4_sessionize",
+    "w5_user_value_delta",
+    "set_union_except",
+    "mm_metadata",
+    "mm_resize",
+    "mm_frame_sample",
+    "sim_bruteforce_topk",
+    # code changed in round 5 (broadcast gating / harness ordering)
+    "j4_revenue_by_nation",
+    "j4b_parttype_revenue",
+    "p11_multi_col_search",
+    # rows-only family: keep the independent driver signal fresh
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ann_lsh_topk",
     "sim_near_dup_pairs",
     "sim_ivf_topk",
-    "mm_feature_extract",
     "a3b_distinct_users_approx",
-    # new this round (oracled)
-    "html_adversarial_text",
-    # round-2-tail oracled queries (re-certify before signal ages out)
-    "a16_rollup_status_priority",
-    "a17_value_percentiles",
-    "a1_event_type_counts",
-    "a2_top10_words",
-    "a3_distinct_users",
-    "a4_mktsegment_counts",
-    "a5_top_order_priorities",
-    "a6_returnflag_status_counts",
-    "a7_orders_timeline",
-    "a8_nation_multiagg",
-    "a9_filtered_count",
-    "a10_props_value_counts",
-    "a11_pricing_summary",
-    "a13_customer_cohorts",
-    "w1_rolling_mean_daily",
-    "w2_top_nation",
-    "w3_max_lsn_per_key",
-    "p5_regex_filter",
-    "p6_date_range",
-    "p7_pagination",
-    "p11_multi_col_search",
-    "p13_truncate",
-    "p14_fillna",
-    "j4_revenue_by_nation",
-    "j4b_parttype_revenue",
-    "j3_customers_without_orders",
 ]
 
 
