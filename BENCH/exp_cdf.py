@@ -57,7 +57,8 @@ from clinical_trials_etl_spark.datagen.changelog import (  # noqa: E402
 INC_EVENTS = 4_000
 
 
-def one_leg(spark, base_events: int, mode: str) -> dict:
+def one_leg(spark, base_events: int, mode: str,
+            inc_segments: int = 1) -> dict:
     work = tempfile.mkdtemp(prefix=f"cdf_{base_events}_")
     # base load: one log; incremental: a second log phase whose lsns
     # continue after the base (lsn_offset), same key space so the
@@ -73,7 +74,7 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
                        n_hosts=max(50, base_events // 200), seed=11,
                        lsn_offset=base_events * 4)
     write_changelog_segments(spark, inc_spec, f"{work}/inc",
-                             n_segments=1)
+                             n_segments=inc_segments)
 
     table = replay(spark, f"{work}/base", f"{work}/table",
                    segments_per_batch=2, batch_prefix="base",
@@ -95,7 +96,8 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
     refresh_agg_view(table, view)
 
     replay(spark, f"{work}/inc", f"{work}/table",
-           batch_prefix="inc", merge_mode=mode)
+           batch_prefix="inc", merge_mode=mode,
+           segments_per_batch=1)
     v_cur = table.current_version()
 
     # both consumers actually read the text payloads (a bare count()
@@ -109,6 +111,14 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
     t0 = time.monotonic()
     feed_rows = consume(table.changes(v_base, v_cur))
     t_feed = time.monotonic() - t0
+
+    # the same window through the one-pass two-sided diff (the fold
+    # cdc/ivm.py uses for multi-commit refresh windows): per-commit
+    # feed cost grows with the number of commits in the window, the
+    # window diff does not (VERDICT r4 #7)
+    t0 = time.monotonic()
+    window_rows = consume(table.changes_window(v_base, v_cur))
+    t_window = time.monotonic() - t0
 
     t0 = time.monotonic()
     table_rows = consume(table.read())
@@ -143,12 +153,15 @@ def one_leg(spark, base_events: int, mode: str) -> dict:
     return {
         "base_events": base_events,
         "inc_events": INC_EVENTS,
+        "inc_commits": inc_segments,
         "mode": mode,
         "table_rows": table_rows,
         "feed_rows": feed_rows,
         "mirror_rows_merged": stats["rows"],
         "view_groups_touched": ivm_stats["groups"],
+        "window_rows": window_rows,
         "feed_sec": round(t_feed, 3),
+        "window_feed_sec": round(t_window, 3),
         "full_scan_sec": round(t_scan, 3),
         "mirror_sync_sec": round(t_sync, 3),
         "ivm_refresh_sec": round(t_ivm, 3),
@@ -164,10 +177,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--bases", default="50000,200000")
     ap.add_argument("--modes", default="cow,delta")
+    ap.add_argument("--inc-segments", type=int, default=1,
+                    help="number of commits the increment lands as")
     args = ap.parse_args()
     spark = get_spark(cores=args.cores)
     legs = [
-        one_leg(spark, int(b), m)
+        one_leg(spark, int(b), m, inc_segments=args.inc_segments)
         for b in args.bases.split(",")
         for m in args.modes.split(",")
     ]

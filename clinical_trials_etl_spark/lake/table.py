@@ -1113,6 +1113,168 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def changes_window(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        columns: list[str] | None = None,
+        pre_images: bool = False,
+    ) -> DataFrame:
+        """The NET change feed of the whole window in ONE two-sided
+        diff instead of ``changes()``'s per-commit loop: winner-per-key
+        at ``from_version`` vs winner-per-key at ``to_version``,
+        restricted to the keys the window's merge commits touched.
+
+        Because per-commit pre-images equal the previous commit's
+        post-images, intermediate images telescope away — the signed
+        per-group contributions of this feed are IDENTICAL to the
+        per-commit feed's (pinned in tests/test_change_feed.py), but a
+        K-commit window costs 2 touched-bucket reads + one candidate
+        read instead of K pre-state reads and K Spark-plan arms. This
+        is the consumer a refresh cadence wants (cdc/ivm.py refreshes
+        every K epochs; its per-refresh fixed cost was dominated by
+        the K feed arms — VERDICT r4 #7). Consumers that need
+        per-commit granularity (``_commit_version`` per change) keep
+        using ``changes()``; here every row carries
+        ``_commit_version = to_version``.
+
+        Output schema and ``pre_images``/``columns`` semantics match
+        ``changes()``; intermediate churn (a key inserted and deleted
+        inside the window) emits nothing, and a key whose end-state
+        winner equals its start-state winner emits nothing. Raises on
+        rollbacks in range and on windows whose commit manifests lost
+        files to ``expire_snapshots`` (same contracts as
+        ``changes()``)."""
+        current = self.current_version()
+        if to_version is None:
+            to_version = current
+        if not (0 <= from_version <= to_version <= current):
+            raise ValueError(
+                f"invalid change range {from_version}..{to_version} "
+                f"(current version {current})")
+
+        to_snap = self.snapshot(to_version)
+        fields = self.fields(to_snap)
+        key = self.key_field(to_snap)
+        if columns is not None:
+            wanted = set(columns) | {key}
+            missing = wanted - {f["name"] for f in fields}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            fields = [f for f in fields if f["name"] in wanted]
+        key_fld = [f for f in fields if f["name"] == key]
+
+        empty_schema = T.StructType(
+            [T.StructField(f["name"], _spark_type(f["type"]))
+             for f in fields]
+            + [T.StructField("_lsn", T.LongType()),
+               T.StructField("_change_type", T.StringType()),
+               T.StructField("_commit_version", T.LongType())]
+        )
+
+        touched: set[int] = set()
+        cand_entries: list[dict] = []
+        stable_buckets = True
+        for v in range(from_version + 1, to_version + 1):
+            lin = self._lineage_entry(v)
+            if lin is not None and lin.get("type") == "rollback":
+                raise ValueError(
+                    f"change range {from_version}..{to_version} "
+                    f"crosses a rollback at v{v} — resync downstream "
+                    f"state from a full read instead")
+            if lin is not None and lin.get("type") == "rebucket":
+                # bucket NUMBERS recorded by commits before the
+                # rebucket don't address the same keys afterwards —
+                # bucket pruning is unsound across the boundary, so
+                # read all buckets (candidate-key semi-joins still
+                # bound the diff)
+                stable_buckets = False
+            if lin is None or lin.get("type") != "merge":
+                continue
+            with open(self._manifest_path(v)) as f:
+                man = json.load(f)
+            entries = [e for group in man["files"].values()
+                       for e in group]
+            gone = sum(1 for e in entries
+                       if not os.path.exists(e["path"]))
+            if gone:
+                raise ValueError(
+                    f"change feed for commit v{v} is no longer "
+                    f"readable: {gone} of its data files were removed "
+                    f"by expire_snapshots — start from a retained "
+                    f"version")
+            cand_entries += entries
+            touched |= set(
+                lin.get("touched_buckets")
+                or {e["bucket"] for e in entries})
+        if not cand_entries:
+            return self.spark.createDataFrame([], empty_schema)
+
+        buckets_arg = touched if stable_buckets else None
+        pre_entries = self.files(self.snapshot(from_version), buckets_arg)
+        gone = sum(1 for e in pre_entries
+                   if not os.path.exists(e["path"]))
+        if gone:
+            raise ValueError(
+                f"pre-state v{from_version} is no longer readable: "
+                f"{gone} files removed by expire_snapshots — start "
+                f"from a retained version")
+
+        # candidate keys: a key-only scan of the window commits' own
+        # files (O(sum of batch sizes) for delta commits; a COW
+        # commit's rewritten buckets contribute carried keys too —
+        # harmless supersets that diff to nothing)
+        cand_keys = self._read_entries(key_fld, cand_entries).select(key)
+        post_w = self._winner_per_key(
+            self._read_entries(fields, self.files(to_snap, buckets_arg))
+            .join(cand_keys, key, "left_semi"),
+            key,
+        )
+        pre_w = self._winner_per_key(
+            self._read_entries(fields, pre_entries)
+            .join(cand_keys, key, "left_semi"),
+            key,
+        ).select(
+            F.col(key),
+            *[F.col(f["name"]).alias(f"_pre_{f['name']}")
+              for f in fields if f["name"] != key],
+            F.col(SYS_LSN).alias("_pre_lsn"),
+            F.col(SYS_DELETED).alias("_pre_del"),
+        )
+        beats_pre = (
+            F.col("_pre_lsn").isNull()
+            | (F.struct(F.col(SYS_LSN), F.col(SYS_DELETED))
+               > F.struct(F.col("_pre_lsn"), F.col("_pre_del")))
+        )
+        changed = post_w.join(pre_w, key, "left").where(beats_pre)
+        ver = F.lit(to_version).cast("long").alias("_commit_version")
+        if not pre_images:
+            return changed.select(
+                *[F.col(f["name"]) for f in fields],
+                F.col(SYS_LSN).alias("_lsn"),
+                F.when(F.col(SYS_DELETED), F.lit("delete"))
+                .otherwise(F.lit("upsert")).alias("_change_type"),
+                ver,
+            )
+        pre_live = (F.col("_pre_lsn").isNotNull() & ~F.col("_pre_del"))
+        post = changed.where(~F.col(SYS_DELETED)).select(
+            *[F.col(f["name"]) for f in fields],
+            F.col(SYS_LSN).alias("_lsn"),
+            F.when(pre_live, F.lit("update_postimage"))
+            .otherwise(F.lit("insert")).alias("_change_type"),
+            ver,
+        )
+        pre = changed.where(pre_live).select(
+            F.col(key),
+            *[F.col(f"_pre_{f['name']}").alias(f["name"])
+              for f in fields if f["name"] != key],
+            F.col("_pre_lsn").alias("_lsn"),
+            F.when(F.col(SYS_DELETED), F.lit("delete"))
+            .otherwise(F.lit("update_preimage")).alias("_change_type"),
+            ver,
+        )
+        return post.unionByName(pre)
+
     # ----------------------------------------------------- maintenance
 
     def compact(self, max_files_per_bucket: int = 1,

@@ -377,3 +377,57 @@ def test_pre_image_feed_column_pruned(spark, tmp_path):
     assert schemas
     for s in schemas:
         assert "f_3" not in s, f"html column crossed a scan: {s}"
+
+
+def test_window_feed_fold_and_signed_equivalence(table):
+    """changes_window: the one-pass two-sided diff must (a) fold a
+    version-``a`` state copy to the version-``b`` state for EVERY
+    window, and (b) carry signed pre/post contributions identical to
+    the telescoped per-commit feed — while never materializing
+    intermediate images (a key's churn inside the window emits at most
+    one pre/post pair)."""
+    cur = table.current_version()
+    for a in range(cur):
+        for b in range(a + 1, cur + 1):
+            state = {r["url"]: r["val"]
+                     for r in table.read(version=a).collect()}
+            win = table.changes_window(a, b).collect()
+            for r in win:
+                if r["_change_type"] == "delete":
+                    state.pop(r["url"], None)
+                else:
+                    state[r["url"]] = r["val"]
+            want = {r["url"]: r["val"]
+                    for r in table.read(version=b).collect()}
+            assert state == want, (a, b)
+            # at most one net row per key, all stamped to_version
+            urls = [r["url"] for r in win]
+            assert len(urls) == len(set(urls)), (a, b)
+            assert all(r["_commit_version"] == b for r in win), (a, b)
+
+            # signed pre/post equivalence vs the per-commit feed
+            net: dict[str, int] = {}
+            for r in table.changes_window(a, b, pre_images=True).collect():
+                u = r["url"]
+                net[u] = net.get(u, 0) + SIGN[r["_change_type"]]
+            per: dict[str, int] = {}
+            for r in table.changes(a, b, pre_images=True).collect():
+                u = r["url"]
+                per[u] = per.get(u, 0) + SIGN[r["_change_type"]]
+            for u in set(net) | set(per):
+                assert net.get(u, 0) == per.get(u, 0), (a, b, u)
+
+
+def test_window_feed_guards_match_per_commit(table):
+    with pytest.raises(ValueError, match="invalid change range"):
+        table.changes_window(3, 1)
+
+
+def test_window_feed_rollback_fails_fast(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    t.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    t.merge(_batch(spark, [("u1", "b", 2, "U")]), batch_id="e-2")
+    t.rollback(1)
+    with pytest.raises(ValueError, match="rollback"):
+        t.changes_window(0, t.current_version())

@@ -31,7 +31,9 @@ FIELDS = [
 AGGS = [("count", None, "n_pages"),
         ("sum", "score", "sum_score"),
         ("avg", "score", "avg_score"),
-        ("count_col", "score", "n_scored")]
+        ("count_col", "score", "n_scored"),
+        ("min", "score", "min_score"),
+        ("max", "score", "max_score")]
 
 
 def _batch(spark, rows):
@@ -45,7 +47,9 @@ def _recompute(table):
                 F.count("*").alias("n_pages"),
                 F.sum("score").alias("sum_score"),
                 F.avg("score").alias("avg_score"),
-                F.count("score").alias("n_scored")).collect()}
+                F.count("score").alias("n_scored"),
+                F.min("score").alias("min_score"),
+                F.max("score").alias("max_score")).collect()}
 
 
 def _view_state(view):
@@ -185,9 +189,16 @@ def test_spec_validation(spark, tmp_path, table):
     with pytest.raises(ValueError, match="duplicate"):
         create_agg_view(spark, table, str(tmp_path / "v3"), ["host"],
                         [("count", None, "n"), ("sum", "score", "n")])
-    with pytest.raises(ValueError, match="not\\s+self-maintainable"):
+    with pytest.raises(ValueError, match="unsupported aggregate kind"):
         create_agg_view(spark, table, str(tmp_path / "v4"), ["host"],
-                        [("count", None, "n"), ("max", "score", "m")])
+                        [("count", None, "n"), ("median", "score", "m")])
+    tb = LakeTable.create(
+        spark, str(tmp_path / "tb"),
+        FIELDS + [{"id": 4, "name": "html", "type": "binary"}], "url",
+        n_buckets=2)
+    with pytest.raises(ValueError, match="orderable"):
+        create_agg_view(spark, tb, str(tmp_path / "v5"), ["host"],
+                        [("count", None, "n"), ("min", "html", "m")])
 
 
 def test_refresh_feed_is_column_pruned(spark, tmp_path):
@@ -244,7 +255,71 @@ def test_view_tracks_renamed_source_columns_by_field_id(
                F.count("*").alias("n_pages"),
                F.sum("quality").alias("sum_score"),
                F.avg("quality").alias("avg_score"),
-               F.count("quality").alias("n_scored")).collect()}
+               F.count("quality").alias("n_scored"),
+               F.min("quality").alias("min_score"),
+               F.max("quality").alias("max_score")).collect()}
     exp = {k: {"host" if kk == "site" else kk: vv
                for kk, vv in v.items()} for k, v in exp.items()}
     assert got == exp
+
+
+def test_minmax_extreme_deletion_recomputes_correctly(
+        spark, tmp_path, table):
+    """The hybrid's hard cases, each checked against recompute:
+    deleting the row that HELD the extreme (forces the group
+    recompute), deleting a non-extreme row (fast path must not move
+    the extreme), ties on the extreme value (conservative recompute
+    must keep the surviving duplicate), and an update that moves the
+    extreme-holding row's value."""
+    view = create_agg_view(spark, table, str(tmp_path / "v"),
+                           ["host"], AGGS)
+    steps = [
+        # a: {10, 20, 20}; b: {5}
+        [("u1", "a", 10, 1, "I"), ("u2", "a", 20, 2, "I"),
+         ("u3", "a", 20, 3, "I"), ("u4", "b", 5, 4, "I")],
+        # delete the min-holder of a (10) -> recompute -> min 20
+        [("u1", None, None, 10, "D")],
+        # delete ONE of the tied max-holders -> max stays 20
+        [("u2", None, None, 11, "D")],
+        # non-extreme insert then its delete: fast path both ways
+        [("u5", "a", 15, 12, "I")],
+        [("u5", None, None, 13, "D")],
+        # update moves the extreme-holder's value down then up
+        [("u3", "a", 7, 20, "U")],
+        [("u3", "a", 99, 21, "U")],
+        # empty b entirely; then re-create it
+        [("u4", None, None, 30, "D")],
+        [("u6", "b", 42, 31, "I")],
+    ]
+    for i, rows in enumerate(steps):
+        table.merge(_batch(spark, rows), batch_id=f"e-{i}",
+                    mode="delta" if i % 2 else "cow")
+        refresh_agg_view(table, view)
+        assert _view_state(view) == _recompute(table), f"step {i}"
+
+
+def test_minmax_string_extremes_and_multi_commit_window(
+        spark, tmp_path, table):
+    """MIN/MAX over a string column (url), refreshed once across a
+    multi-commit window that includes an extreme deletion — the
+    windowed feed path and the hybrid must compose."""
+    aggs = [("count", None, "n"), ("min", "url", "first_url"),
+            ("max", "url", "last_url")]
+    view = create_agg_view(spark, table, str(tmp_path / "v"),
+                           ["host"], aggs)
+    table.merge(_batch(spark, [("a1", "x", 1, 1, "I"),
+                               ("m5", "x", 2, 2, "I"),
+                               ("z9", "x", 3, 3, "I")]), batch_id="e-0")
+    table.merge(_batch(spark, [("a1", None, None, 10, "D")]),
+                batch_id="e-1")
+    table.merge(_batch(spark, [("b2", "x", 4, 11, "I")]),
+                batch_id="e-2", mode="delta")
+    refresh_agg_view(table, view)   # 3 commits in one window
+    got = {r["host"]: r.asDict() for r in read_agg_view(view).collect()}
+    exp = {r["host"]: r.asDict() for r in
+           table.read().groupBy("host").agg(
+               F.count("*").alias("n"),
+               F.min("url").alias("first_url"),
+               F.max("url").alias("last_url")).collect()}
+    assert got == exp == {"x": {"host": "x", "n": 3,
+                                "first_url": "b2", "last_url": "z9"}}
