@@ -12,6 +12,11 @@ and diffs the catalog table's final state against the parquet stand-in's
 Reference analog: the real store at
 trials_extractor/storage/mongodb_storage.py:154-245 (upsert path) — here
 the "real store" is an actual Iceberg catalog instead of the stand-in.
+
+Jar-availability audit trail (one dated line per round, per
+VERDICT.md item 8): 2026-08-19 (round 5) — no iceberg-spark-runtime
+jar under the pyspark install, no ivy cache, no package network
+access in this container; the test remains the 1 designed skip.
 """
 
 from __future__ import annotations
