@@ -431,3 +431,34 @@ def test_window_feed_rollback_fails_fast(spark, tmp_path):
     t.rollback(1)
     with pytest.raises(ValueError, match="rollback"):
         t.changes_window(0, t.current_version())
+
+
+def test_window_feed_column_pruned(spark, tmp_path):
+    """The window diff's three reads — candidate keys, pre-state
+    winner, post-state winner — must all prune to columns=[...] at the
+    scan: a count maintained over html blobs never moves the blobs
+    even when the window spans several commits."""
+    fields = FIELDS + [{"id": 3, "name": "html", "type": "binary"}]
+    t = LakeTable.create(spark, str(tmp_path / "t"), fields, "url",
+                         n_buckets=2)
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows,
+            "url string, val string, html binary, lsn long, op string")
+
+    t.merge(b([("u1", "a", b"x" * 64, 1, "I")]), batch_id="e-1")
+    t.merge(b([("u1", "a2", b"z" * 64, 9, "U"),
+               ("u2", "b", b"y" * 64, 10, "I")]), batch_id="e-2")
+    t.merge(b([("u2", None, None, 20, "D")]), batch_id="e-3",
+            mode="delta")
+
+    feed = t.changes_window(0, 3, pre_images=True, columns=["val"])
+    assert set(feed.columns) == {"url", "val", "_lsn", "_change_type",
+                                 "_commit_version"}
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas
+    for s in schemas:
+        assert "f_3" not in s, f"html column crossed a scan: {s}"
+    assert "BroadcastNestedLoopJoin" not in plan
