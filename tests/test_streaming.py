@@ -238,7 +238,9 @@ def test_stream_maintains_agg_view_on_cadence(spark, log_dir, tmp_path):
     table = create_pages_table(spark, str(tmp_path / "tbl_ivm"), n_buckets=8)
     view = create_agg_view(
         spark, table, str(tmp_path / "view_ivm"),
-        group_cols=["lang"], aggs=[("count", None, "pages")])
+        group_cols=["lang"], aggs=[("count", None, "pages"),
+                                   ("min", "warc_ts", "first_seen"),
+                                   ("max", "warc_ts", "last_seen")])
 
     run_stream(
         spark, log_dir, table, str(tmp_path / "ckpt_ivm"),
@@ -251,17 +253,21 @@ def test_stream_maintains_agg_view_on_cadence(spark, log_dir, tmp_path):
         # the group column's CURRENT name at that source version
         name = next(f["name"] for f in table.fields(table.snapshot(version))
                     if f["id"] == 5)
-        return {r[0]: r[1] for r in table.read(version=version)
-                .groupBy(name).count().collect()}
+        return {r[0]: (r[1], r[2], r[3])
+                for r in table.read(version=version).groupBy(name)
+                .agg(F.count("*"), F.min("warc_ts"), F.max("warc_ts"))
+                .collect()}
 
-    got = {r["lang"]: r["pages"] for r in read_agg_view(view).collect()}
-    assert got == recompute(v)
+    def state():
+        return {r["lang"]: (r["pages"], r["first_seen"], r["last_seen"])
+                for r in read_agg_view(view).collect()}
+
+    assert state() == recompute(v)
 
     # a manual catch-up refresh converges the view to the head
     refresh_agg_view(table, view)
     assert last_refreshed(view) == table.current_version()
-    got = {r["lang"]: r["pages"] for r in read_agg_view(view).collect()}
-    assert got == recompute(table.current_version())
+    assert state() == recompute(table.current_version())
 
 
 def test_stream_sorted_compaction_enables_windowed_skipping(
