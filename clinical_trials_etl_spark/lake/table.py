@@ -170,6 +170,65 @@ def _parquet_footer(path: str, stat_cols: set[str]) -> tuple[int, dict]:
     return md.num_rows, stats
 
 
+# string rank uses a 6-byte (48-bit) big-endian prefix so the value
+# stays exactly representable in a double's 53-bit mantissa — a wider
+# prefix would silently stop being order-preserving at the low bits
+_ZORDER_STR_PREFIX = 6
+
+
+def _zorder_rank_expr(phys_name: str, dtype: str):
+    """Order-preserving DOUBLE projection of an orderable column, the
+    per-dimension input to the Z-order (Morton) key. Strings map to
+    their UTF-8 6-byte big-endian prefix (lexicographic order of
+    prefixes preserved); timestamps/dates to epoch seconds; numerics
+    cast. Pure JVM expressions — no Python in the rewrite path."""
+    c = F.col(phys_name)
+    if dtype == "string":
+        hexpad = F.rpad(
+            F.hex(F.substring(c.cast("binary"), 1, _ZORDER_STR_PREFIX)),
+            _ZORDER_STR_PREFIX * 2, "0")
+        return F.conv(hexpad, 16, 10).cast("double")
+    if dtype == "date":
+        return c.cast("timestamp").cast("double")
+    if dtype == "boolean":
+        return c.cast("int").cast("double")
+    return c.cast("double")  # numerics and timestamps
+
+
+def _zorder_key(norms: list) -> "F.Column":
+    """Interleave the bits of pre-normalized per-dimension bucket
+    indexes (longs in ``[0, 2^bits)``) into one Morton key:
+    ``z = OR_{i,d} ((v_d >> i & 1) << (i*D + d))``. Built as a static
+    JVM expression tree (``bits × D`` shift/mask terms), entirely
+    inside whole-stage codegen."""
+    dims = len(norms)
+    bits = min(16, 63 // dims)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, n in enumerate(norms):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(n, i).bitwiseAND(F.lit(1)),
+                    i * dims + d))
+    return z
+
+
+def _zorder_norm(rank, lo: float, hi: float, dims: int):
+    """Scale one dimension's rank double into its ``2^bits``-bucket
+    index (nulls to bucket 0 — they cluster at the curve's origin).
+    Degenerate dimensions (single value, or bounds unavailable)
+    contribute a constant 0, which only wastes their interleaved bits."""
+    bits = min(16, 63 // dims)
+    nb = 1 << bits
+    if lo is None or hi is None or not (hi > lo):
+        return F.lit(0).cast("long")
+    n = F.floor((rank - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo)) * nb).cast("long")
+    n = F.least(F.lit(nb - 1).cast("long"),
+                F.greatest(F.lit(0).cast("long"), n))
+    return F.coalesce(n, F.lit(0).cast("long"))
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -1279,7 +1338,8 @@ class LakeTable:
 
     def compact(self, max_files_per_bucket: int = 1,
                 sort_by: str | list[str] | None = None,
-                rows_per_file: int | None = None) -> dict:
+                rows_per_file: int | None = None,
+                zorder_by: list[str] | None = None) -> dict:
         """Small-file compaction (Iceberg rewrite_data_files analog):
         rewrite every bucket holding more than ``max_files_per_bucket``
         files into one file per bucket, commit as a new snapshot. Data
@@ -1305,12 +1365,45 @@ class LakeTable:
         scale this is the 'query yesterday's pages out of a year-long
         table' path — time-windowed reads touch O(window) files, not
         O(table). With ``sort_by`` set, ALL buckets rewrite (range
-        clustering is the point, not just file count)."""
+        clustering is the point, not just file count).
+
+        ``zorder_by``: cluster by the Morton (Z-order) interleaving of
+        two-or-more orderable columns instead (Iceberg
+        ``rewrite_data_files`` Z-order strategy analog; Morton 1966).
+        A lexicographic multi-column sort range-clusters only its
+        LEADING column — a window read on the second column still
+        plans every file. Z-ordering interleaves the dimensions'
+        bits, so each written file's min/max box is tight on EVERY
+        Z dimension (~F^(1/D) of the range per file across F files)
+        and ``read(between=...)`` skips on whichever dimension the
+        query constrains. Dimension normalization bounds come from one
+        min/max aggregation over the rewrite input (2 scalars per
+        dimension to the driver); the key itself is a static JVM
+        shift/mask expression tree — no Python in the rewrite path.
+        Layout-only: the read side is untouched, the existing manifest
+        stats + skipping machinery does the pruning."""
         snap = self.snapshot()
+        if zorder_by is not None and sort_by is not None:
+            raise ValueError("sort_by and zorder_by are exclusive")
         counts: dict[int, int] = {}
         for f in self.files(snap):
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        if sort_by is not None:
+        if zorder_by is not None:
+            z_cols = list(zorder_by)
+            if len(z_cols) < 2:
+                raise ValueError("zorder_by needs >=2 columns "
+                                 "(use sort_by for one)")
+            by_name = {f["name"]: f for f in self.fields(snap)}
+            unknown = [c for c in z_cols if c not in by_name]
+            if unknown:
+                raise ValueError(f"unknown zorder_by columns {unknown}")
+            bad = [c for c in z_cols
+                   if by_name[c]["type"] not in _STAT_TYPES]
+            if bad:
+                raise ValueError(
+                    f"zorder_by columns not orderable: {bad}")
+            fat = set(counts)
+        elif sort_by is not None:
             sort_cols = ([sort_by] if isinstance(sort_by, str)
                          else list(sort_by))
             known = {f["name"] for f in self.fields(snap)}
@@ -1334,12 +1427,13 @@ class LakeTable:
         )
         out_dir = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex}")
         phys = {f"f_{f['id']}": f["type"] for f in fields}
-        writer = df.select(
+        projected = df.select(
             *[F.col(f["name"]).alias(f"f_{f['id']}") for f in fields],
             F.col(SYS_LSN),
             F.col(SYS_DELETED),
             F.col(SYS_BUCKET),
-        ).repartition(len(fat), F.col(SYS_BUCKET))
+        )
+        writer = projected.repartition(len(fat), F.col(SYS_BUCKET))
         if sort_by is not None:
             # sorted runs per bucket directory: with maxRecordsPerFile
             # the writer splits each directory's sequential sorted rows
@@ -1348,6 +1442,25 @@ class LakeTable:
             writer = writer.sortWithinPartitions(
                 F.col(SYS_BUCKET),
                 *[F.col(name_to_phys[c]) for c in sort_cols])
+        elif zorder_by is not None:
+            by_name = {f["name"]: f for f in fields}
+            ranks = [_zorder_rank_expr(f"f_{by_name[c]['id']}",
+                                       by_name[c]["type"])
+                     for c in z_cols]
+            aggs = []
+            for i, r in enumerate(ranks):
+                aggs += [F.min(r).alias(f"lo{i}"),
+                         F.max(r).alias(f"hi{i}")]
+            # one min/max aggregation over the pre-repartition
+            # projection (no exchange in the bounds job); the collect
+            # is 2 scalars per dimension (bounded driver metadata,
+            # like the bloom/stats jobs)
+            b = projected.agg(*aggs).collect()[0]
+            norms = [_zorder_norm(r, b[f"lo{i}"], b[f"hi{i}"],
+                                  len(ranks))
+                     for i, r in enumerate(ranks)]
+            writer = writer.sortWithinPartitions(
+                F.col(SYS_BUCKET), _zorder_key(norms))
         w = writer.write.mode("overwrite")
         if rows_per_file is not None:
             w = w.option("maxRecordsPerFile", int(rows_per_file))
@@ -1371,7 +1484,8 @@ class LakeTable:
         snap2["manifests"] = manifests
         snap2["committed_at"] = time.time()
         lin = {"type": "compaction", "buckets": sorted(fat),
-               **({"sort_by": sort_cols} if sort_by else {})}
+               **({"sort_by": sort_cols} if sort_by else {}),
+               **({"zorder_by": z_cols} if zorder_by else {})}
         snap2["lineage"] = lin
         self._write_snapshot(snap2)
         self._append_lineage(version, lin)
