@@ -170,22 +170,52 @@ def _parquet_footer(path: str, stat_cols: set[str]) -> tuple[int, dict]:
     return md.num_rows, stats
 
 
-# string rank uses a 6-byte (48-bit) big-endian prefix so the value
+# string rank uses a 6-byte (48-bit) big-endian window so the value
 # stays exactly representable in a double's 53-bit mantissa — a wider
-# prefix would silently stop being order-preserving at the low bits
+# window would silently stop being order-preserving at the low bits
 _ZORDER_STR_PREFIX = 6
 
 
-def _zorder_rank_expr(phys_name: str, dtype: str):
+def _lcp_bytes(a: str, b: str) -> int:
+    """Byte length of the longest common prefix of two strings' UTF-8
+    encodings. Lexicographic invariant: every value between min and
+    max shares min/max's common prefix, so skipping it before ranking
+    loses no order information — it recovers the bytes that actually
+    discriminate (web urls all open with ``https://...``; a constant
+    window there would collapse the whole dimension to one rank)."""
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    n = 0
+    for x, y in zip(ab, bb):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def _zorder_str_rank_value(s: str, offset: int) -> float:
+    """Driver-side twin of the string branch of
+    ``_zorder_rank_expr`` — byte-exact (same UTF-8 slice, same
+    right-zero-padding, same big-endian integer), so the dimension
+    bounds can be derived from the already-aggregated min/max strings
+    instead of a second Spark job over the rank column."""
+    window = s.encode("utf-8")[offset:offset + _ZORDER_STR_PREFIX]
+    window = window.ljust(_ZORDER_STR_PREFIX, b"\x00")
+    return float(int.from_bytes(window, "big"))
+
+
+def _zorder_rank_expr(phys_name: str, dtype: str, str_offset: int = 0):
     """Order-preserving DOUBLE projection of an orderable column, the
-    per-dimension input to the Z-order (Morton) key. Strings map to
-    their UTF-8 6-byte big-endian prefix (lexicographic order of
-    prefixes preserved); timestamps/dates to epoch seconds; numerics
-    cast. Pure JVM expressions — no Python in the rewrite path."""
+    per-dimension input to the Z-order (Morton) key. Strings map to a
+    UTF-8 6-byte big-endian window starting after the dimension's
+    common prefix (``str_offset`` bytes, from ``_lcp_bytes`` of the
+    global min/max — lexicographic order of the windows preserved);
+    timestamps/dates to epoch seconds; numerics cast. Pure JVM
+    expressions — no Python in the rewrite path."""
     c = F.col(phys_name)
     if dtype == "string":
         hexpad = F.rpad(
-            F.hex(F.substring(c.cast("binary"), 1, _ZORDER_STR_PREFIX)),
+            F.hex(F.substring(c.cast("binary"), str_offset + 1,
+                              _ZORDER_STR_PREFIX)),
             _ZORDER_STR_PREFIX * 2, "0")
         return F.conv(hexpad, 16, 10).cast("double")
     if dtype == "date":
@@ -1444,21 +1474,48 @@ class LakeTable:
                 *[F.col(name_to_phys[c]) for c in sort_cols])
         elif zorder_by is not None:
             by_name = {f["name"]: f for f in fields}
-            ranks = [_zorder_rank_expr(f"f_{by_name[c]['id']}",
-                                       by_name[c]["type"])
-                     for c in z_cols]
             aggs = []
-            for i, r in enumerate(ranks):
-                aggs += [F.min(r).alias(f"lo{i}"),
-                         F.max(r).alias(f"hi{i}")]
+            for i, c in enumerate(z_cols):
+                fld = by_name[c]
+                # string dims aggregate the RAW min/max (the rank
+                # window position depends on their common prefix,
+                # known only after this job); others aggregate the
+                # rank directly
+                src = (F.col(f"f_{fld['id']}")
+                       if fld["type"] == "string"
+                       else _zorder_rank_expr(f"f_{fld['id']}",
+                                              fld["type"]))
+                aggs += [F.min(src).alias(f"lo{i}"),
+                         F.max(src).alias(f"hi{i}")]
             # one min/max aggregation over the pre-repartition
             # projection (no exchange in the bounds job); the collect
             # is 2 scalars per dimension (bounded driver metadata,
             # like the bloom/stats jobs)
             b = projected.agg(*aggs).collect()[0]
-            norms = [_zorder_norm(r, b[f"lo{i}"], b[f"hi{i}"],
-                                  len(ranks))
-                     for i, r in enumerate(ranks)]
+            ranks, bounds = [], []
+            for i, c in enumerate(z_cols):
+                fld = by_name[c]
+                lo, hi = b[f"lo{i}"], b[f"hi{i}"]
+                if fld["type"] == "string":
+                    # rank the 6 bytes AFTER the dimension-wide common
+                    # prefix (shared by every value between min and
+                    # max), and derive the bounds driver-side from the
+                    # min/max strings — rank is order-preserving, so
+                    # rank(min)/rank(max) ARE lo/hi (no second job)
+                    off = (_lcp_bytes(lo, hi)
+                           if lo is not None and hi is not None else 0)
+                    ranks.append(_zorder_rank_expr(
+                        f"f_{fld['id']}", "string", str_offset=off))
+                    lo = (None if lo is None
+                          else _zorder_str_rank_value(lo, off))
+                    hi = (None if hi is None
+                          else _zorder_str_rank_value(hi, off))
+                else:
+                    ranks.append(_zorder_rank_expr(
+                        f"f_{fld['id']}", fld["type"]))
+                bounds.append((lo, hi))
+            norms = [_zorder_norm(r, lo, hi, len(ranks))
+                     for r, (lo, hi) in zip(ranks, bounds)]
             writer = writer.sortWithinPartitions(
                 F.col(SYS_BUCKET), _zorder_key(norms))
         w = writer.write.mode("overwrite")

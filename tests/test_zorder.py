@@ -142,6 +142,31 @@ def test_string_dimension_correct(spark, tmp_path):
     assert planned < len(t.files())
 
 
+def test_string_dimension_shared_prefix_still_clusters(spark, tmp_path):
+    """Web urls all open with the same bytes (``https://...``) — a
+    fixed-position 6-byte rank window would see one constant value and
+    collapse the dimension (measured: zero url pruning in
+    BENCH/exp_zorder.py before the fix). The rank must skip the
+    dimension-wide common prefix of min/max (shared by every value in
+    between — lexicographic invariant) so the discriminating bytes
+    land in the window."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=1)
+    rows = [(f"https://site{i:04d}.example/page",
+             _T0 + datetime.timedelta(hours=i % 20),
+             i % 20, b"<html>x</html>", i, "I") for i in range(400)]
+    t.merge(_batch(spark, rows), batch_id="b1")
+    t.compact(zorder_by=["url", "warc_ts"], rows_per_file=50)
+    win = ("url", "https://site0100.example/page",
+           "https://site0199.example/page")
+    got = {r.url for r in t.read(between=win).collect()}
+    assert got == {f"https://site{i:04d}.example/page"
+                   for i in range(100, 200)}
+    planned = len(set(t.read(between=win).inputFiles()))
+    assert planned < len(t.files()), \
+        "shared https:// prefix must not defeat url clustering"
+
+
 def test_nulls_cluster_at_origin_and_survive(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
                          n_buckets=1)
