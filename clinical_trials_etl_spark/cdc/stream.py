@@ -106,6 +106,7 @@ def run_stream(
     merge_mode: str | None = None,
     compact_every: int | None = None,
     compact_sort_by: str | None = None,
+    compact_zorder_by: list[str] | None = None,
     compact_rows_per_file: int | None = None,
     rebucket_after: tuple[int, int] | None = None,
     expire_every: int | None = None,
@@ -231,8 +232,11 @@ def run_stream(
             if compact_every and applied["n"] % compact_every == 0:
                 # compact_sort_by: range-cluster the rewrite (e.g. on
                 # warc_ts) so the fold ALSO buys manifest-stats file
-                # skipping for windowed reads — see LakeTable.compact
+                # skipping for windowed reads; compact_zorder_by:
+                # Morton-cluster it so EVERY listed dimension skips
+                # (time window AND url slice) — see LakeTable.compact
                 table.compact(sort_by=compact_sort_by,
+                              zorder_by=compact_zorder_by,
                               rows_per_file=compact_rows_per_file)
             if (
                 rebucket_after

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="range-cluster each bucket by this column "
                         "during the in-stream fold (e.g. warc_ts) so "
                         "windowed reads skip files via manifest stats")
+    p.add_argument("--compact-zorder-by", default=None,
+                   help="comma-separated columns (>=2): Morton-cluster "
+                        "each bucket during the in-stream fold so "
+                        "windowed reads skip files on EVERY listed "
+                        "dimension (e.g. warc_ts,url); exclusive with "
+                        "--compact-sort-by")
     p.add_argument("--compact-rows-per-file", type=int, default=None,
                    help="split each clustered bucket into sorted "
                         "files of at most this many rows")
@@ -112,6 +118,8 @@ def main(argv: list[str] | None = None) -> dict:
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
             compact_sort_by=args.compact_sort_by,
+            compact_zorder_by=(args.compact_zorder_by.split(",")
+                               if args.compact_zorder_by else None),
             compact_rows_per_file=args.compact_rows_per_file,
         )
         result = {

@@ -297,6 +297,42 @@ def test_stream_sorted_compaction_enables_windowed_skipping(
     assert 0 < len(set(win.inputFiles())) < total
 
 
+def test_stream_zorder_compaction_prunes_both_dimensions(
+        spark, log_dir, tmp_path):
+    """compact_zorder_by on the streaming cadence: the in-stream fold
+    Morton-clusters each bucket on (warc_ts, url), so post-hoc window
+    reads on EITHER dimension plan fewer files than the table holds —
+    the two-access-pattern layout a sort order can't provide — and
+    both still equal the plain filtered read exactly."""
+    # few buckets + small files: the url probe must visit every bucket
+    # (the table hash-buckets on url), so its pruning is WITHIN buckets
+    # — each needs several files for a box to be skippable
+    table = create_pages_table(spark, str(tmp_path / "tbl_zc"), n_buckets=2)
+    run_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt_zc"),
+        max_files_per_trigger=1, merge_mode="delta", compact_every=2,
+        compact_zorder_by=["warc_ts", "url"], compact_rows_per_file=10,
+    )
+    # make the final layout fully folded + clustered
+    table.compact(zorder_by=["warc_ts", "url"], rows_per_file=10)
+    total = len({e["path"] for e in table.files()})
+    lo, hi = table.read().agg(
+        F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    mid = lo + (hi - lo) / 8
+    urls = sorted(r["url"] for r in table.read().select("url").collect())
+    uwin = (urls[len(urls) // 2], urls[len(urls) // 2 + len(urls) // 8])
+    for win in (("warc_ts", lo, mid), ("url", *uwin)):
+        got = table.read(between=win)
+        col = win[0]
+        expected = sorted(
+            r["url"] for r in table.read()
+            .where(F.col(col).between(F.lit(win[1]), F.lit(win[2])))
+            .collect())
+        assert sorted(r["url"] for r in got.collect()) == expected
+        assert 0 < len(set(got.inputFiles())) < total, \
+            f"{col} window did not prune"
+
+
 def test_stream_audit_gate_publishes_when_green(spark, log_dir, tmp_path):
     """run_stream(audit=...) with a passing gate: every epoch stages,
     audits, publishes — final state identical to an ungated run, no
