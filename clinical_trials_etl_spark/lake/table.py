@@ -91,8 +91,20 @@ class CommitConflict(Exception):
     serialization: the loser fails loudly BEFORE clobbering committed
     metadata, instead of last-writer-wins silently corrupting the
     snapshot chain. Recovery: stop the duplicate job; a legitimate
-    retry re-reads the table state and commits on top of the winner."""
+    retry re-reads the table state and commits on top of the winner.
 
+    The ONE sanctioned concurrent writer is a maintenance
+    ``compact()`` running beside the ingest stream (the Iceberg
+    rewrite_data_files deployment pattern): a compaction that loses
+    the race to delta-merge commits rebases its metadata on top of
+    them instead of raising — see ``_rebase_rewrite_base``."""
+
+
+# bounded optimistic-concurrency retries for the rebasing commit path
+# (compaction vs a live ingest stream); each retry re-reads the
+# current snapshot, so exhausting them means the table is committing
+# faster than a metadata rebase can keep up — rerun the compaction
+_COMMIT_RETRIES = 5
 
 # column types whose parquet min/max stats the manifest records (the
 # orderable primitives; binary payloads and nested types never get
@@ -1411,7 +1423,17 @@ class LakeTable:
         dimension to the driver); the key itself is a static JVM
         shift/mask expression tree — no Python in the rewrite path.
         Layout-only: the read side is untouched, the existing manifest
-        stats + skipping machinery does the pruning."""
+        stats + skipping machinery does the pruning.
+
+        Concurrency: compaction is the one op sanctioned to run beside
+        the ingest stream. Losing the snapshot-commit race to
+        delta-merge commits does not discard the rewrite — the commit
+        REBASES, adopting the winners' new layers on top of the
+        compacted base (Iceberg RewriteFiles validation analog; see
+        ``_rebase_rewrite_base``). A winner that rewrote the
+        compaction's inputs (COW merge, another compaction, rebucket,
+        rollback) raises CommitConflict: the folded data is stale,
+        rerun the compaction."""
         snap = self.snapshot()
         if zorder_by is not None and sort_by is not None:
             raise ValueError("sort_by and zorder_by are exclusive")
@@ -1525,28 +1547,100 @@ class LakeTable:
         new_files = self._collect_written_files(out_dir, phys)[0]
         self._attach_key_blooms(snap, new_files)
 
-        version = snap["version"] + 1
         by_bucket: dict[str, list[dict]] = {}
         for fmeta in new_files:
             by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
-        manifest_path = self._write_manifest(version, by_bucket)
-        manifests = {b: list(v) for b, v in snap["manifests"].items()}
-        for b in fat:
-            manifests.pop(str(b), None)
-        for b in by_bucket:
-            manifests[b] = [manifest_path]
-        snap2 = dict(snap)
-        snap2["version"] = version
-        snap2["parent"] = snap["version"]
-        snap2["manifests"] = manifests
-        snap2["committed_at"] = time.time()
+        # The manifest is path-referenced everywhere (only MERGE
+        # commits must own manifest-<version>.json — the change feed
+        # reads those by number), so the rewrite's manifest is written
+        # ONCE at a unique path and re-pointed across commit retries:
+        # a retry never replaces a concurrent merge's numbered
+        # manifest, closing the write-then-commit clobber window for
+        # the one op that legitimately runs beside the ingest writer.
+        manifest_path = os.path.join(
+            self.meta_dir, f"manifest-compact-{uuid.uuid4().hex}.json")
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": snap["version"] + 1,
+                       "files": by_bucket}, f, indent=1)
+        os.replace(tmp, manifest_path)
         lin = {"type": "compaction", "buckets": sorted(fat),
                **({"sort_by": sort_cols} if sort_by else {}),
                **({"zorder_by": z_cols} if zorder_by else {})}
-        snap2["lineage"] = lin
-        self._write_snapshot(snap2)
-        self._append_lineage(version, lin)
-        return {"compacted_buckets": len(fat), "version": version}
+        # Commit with rebase-on-conflict (Iceberg RewriteFiles
+        # validation analog): losing the commit race to the ingest
+        # stream must not waste the data rewrite above. As long as
+        # every input layer this compaction folded is STILL the prefix
+        # of its bucket's manifest list in the winner's snapshot —
+        # true when the concurrent commits only APPENDED delta layers,
+        # the streaming-ingest shape — the new layers are adopted ON
+        # TOP of the compacted base: their rows carry newer LSNs, so
+        # the usual max-(lsn, deleted) reconciliation yields exactly
+        # "compact, then apply the concurrent batch". Anything that
+        # REWROTE an input (COW merge, another compaction, rebucket,
+        # rollback) makes the folded data stale — hard CommitConflict,
+        # rerun the compaction.
+        consumed = {str(b): list(snap["manifests"].get(str(b), []))
+                    for b in fat}
+        base = snap
+        for _ in range(_COMMIT_RETRIES):
+            version = base["version"] + 1
+            manifests = {b: list(v) for b, v in base["manifests"].items()}
+            for b in fat:
+                sb = str(b)
+                adopted = base["manifests"].get(sb, [])[len(consumed[sb]):]
+                rebased = ([manifest_path] if sb in by_bucket else []) \
+                    + adopted
+                if rebased:
+                    manifests[sb] = rebased
+                else:
+                    manifests.pop(sb, None)
+            snap2 = dict(base)
+            snap2["version"] = version
+            snap2["parent"] = base["version"]
+            snap2["manifests"] = manifests
+            snap2["committed_at"] = time.time()
+            snap2["lineage"] = lin
+            try:
+                self._write_snapshot(snap2)
+            except CommitConflict:
+                base = self._rebase_rewrite_base(snap, fat, consumed)
+                continue
+            self._append_lineage(version, lin)
+            return {"compacted_buckets": len(fat), "version": version}
+        raise CommitConflict(
+            f"compaction lost the commit race {_COMMIT_RETRIES} times "
+            f"in a row — rerun it")
+
+    def _rebase_rewrite_base(self, snap0: dict, fat: set[int],
+                             consumed: dict[str, list[str]]) -> dict:
+        """Validate that a layout rewrite staged against ``snap0`` can
+        re-commit on top of the CURRENT snapshot after losing a commit
+        race, and return that snapshot to rebase onto. Sound iff the
+        winner(s) did not rewrite any of the rewrite's inputs: per
+        rewritten bucket the current manifest list must still START
+        WITH the exact layer list the rewrite folded (concurrent delta
+        merges only append), under the same bucket layout. Concurrent
+        schema evolution is fine — the rebase adopts the current
+        schema, and every file entry carries its own physical
+        signature, so the rewritten files read back like any other
+        pre-evolution files. Raises CommitConflict when the folded
+        data is stale (COW merge / compaction / rollback / rebucket
+        touched an input)."""
+        cur = self.snapshot()
+        if cur["n_buckets"] != snap0["n_buckets"]:
+            raise CommitConflict(
+                "a concurrent rebucket changed the partition layout "
+                "under this compaction — rerun it on the new layout")
+        for b in sorted(fat):
+            sb = str(b)
+            want = consumed[sb]
+            if cur["manifests"].get(sb, [])[: len(want)] != want:
+                raise CommitConflict(
+                    f"bucket {sb}'s files were rewritten by a "
+                    f"concurrent commit — this compaction's inputs "
+                    f"are stale, rerun it")
+        return cur
 
     def rebucket(self, n_buckets: int) -> dict:
         """Partition evolution (Iceberg
@@ -1559,7 +1653,13 @@ class LakeTable:
         snapshots keep reading their own layout (time travel intact)
         and every post-rebucket merge hashes with the new count.
         Tombstones survive the rewrite (same winner-rule reconciled
-        read as compaction)."""
+        read as compaction).
+
+        Unlike ``compact``, a rebucket that loses a commit race fails
+        fast (no rebase): its inputs are EVERY bucket, and a
+        concurrent delta layer is hashed with the OLD bucket count —
+        adopting it under the new layout would misroute its keys.
+        Rerun the rebucket in a quiesced window."""
         snap = self.snapshot()
         if n_buckets == snap["n_buckets"]:
             return {"rebucketed": False, "version": snap["version"]}

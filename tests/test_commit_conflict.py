@@ -12,7 +12,13 @@ when that assumption is violated or a commit crashes mid-flight:
   retry; a manifest belonging to a COMMITTED snapshot is not;
 - the _current pointer is a hint: a crash between snapshot link and
   pointer update self-heals (roll-forward), it does not wedge the
-  next commit in an unwinnable conflict.
+  next commit in an unwinnable conflict;
+- the ONE sanctioned concurrent writer — a maintenance compact()
+  beside the ingest stream (Iceberg rewrite_data_files pattern) —
+  REBASES on a lost race when the winners only appended delta layers
+  (the rewrite's inputs are all still live), and hard-conflicts when
+  a winner rewrote an input (COW merge / rebucket): the RewriteFiles
+  validation analog.
 """
 
 from __future__ import annotations
@@ -84,3 +90,120 @@ def test_stale_current_pointer_rolls_forward(spark, tmp_path):
     t.merge(_batch(spark, [("u3", "c", 3, "I")]), batch_id="e-3")
     assert t.current_version() == v + 1
     assert t.read().count() == 3
+
+
+# ---------------------------------------------------------------------------
+# compaction rebase-on-conflict (Iceberg RewriteFiles validation analog)
+# ---------------------------------------------------------------------------
+
+
+def _inject_before_commit(t: LakeTable, action) -> None:
+    """Fire ``action`` once, right before t's next snapshot commit —
+    simulating a concurrent writer winning the race in the window
+    between the compaction's data rewrite and its metadata commit."""
+    orig = t._write_snapshot
+    state = {"fired": False}
+
+    def hook(snap):
+        if not state["fired"]:
+            state["fired"] = True
+            action()
+        return orig(snap)
+
+    t._write_snapshot = hook
+
+
+def _delta_table(spark, tmp_path, name="t"):
+    t = LakeTable.create(spark, str(tmp_path / name), FIELDS, "url",
+                         n_buckets=1)
+    t.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I")]),
+            batch_id="e-1", mode="delta")
+    t.merge(_batch(spark, [("u1", "a2", 3, "U"), ("u3", "c", 4, "I")]),
+            batch_id="e-2", mode="delta")
+    return t
+
+
+def test_compact_rebases_over_concurrent_delta_merge(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    concurrent = _batch(
+        spark, [("u1", "a3", 5, "U"), ("u9", "z", 6, "I")])
+    _inject_before_commit(
+        t, lambda: racer.merge(concurrent, batch_id="e-3", mode="delta"))
+
+    res = t.compact(max_files_per_bucket=1)
+    assert res["compacted_buckets"] == 1
+
+    # the winner's merge commit is preserved underneath the compaction
+    hist = t.history()
+    assert hist[0]["operation"] == "compaction"
+    assert hist[1]["operation"] == "merge"
+    assert hist[1]["detail"]["batch_id"] == "e-3"
+    assert hist[0]["parent"] == hist[1]["version"]
+    assert res["version"] == hist[0]["version"]
+
+    # rebased state == compact-then-apply ordering, byte-for-byte
+    ref = _delta_table(spark, tmp_path, name="ref")
+    ref.compact(max_files_per_bucket=1)
+    ref.merge(concurrent, batch_id="e-3", mode="delta")
+    cols = ["url", "val"]
+    assert (sorted(t.read().select(*cols).collect())
+            == sorted(ref.read().select(*cols).collect()))
+
+    # the adopted layer sits ON TOP of the compacted base in the
+    # manifest list (base first, newer layers after)
+    snap = t.snapshot()
+    lists = snap["manifests"]["0"]
+    assert len(lists) == 2 and "compact-" in lists[0]
+
+    # the winner's idempotency-ledger entry survived the rebase:
+    # re-delivering its epoch is a metadata no-op
+    redeliver = t.merge(concurrent, batch_id="e-3", mode="delta")
+    assert redeliver.get("skipped") is True
+
+
+def test_compact_conflicts_when_cow_merge_rewrote_inputs(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(
+        t, lambda: racer.merge(
+            _batch(spark, [("u1", "a3", 5, "U")]),
+            batch_id="e-3", mode="cow"))
+    with pytest.raises(CommitConflict, match="stale"):
+        t.compact(max_files_per_bucket=1)
+    # the winner's commit is current and intact; once new layers land,
+    # rerunning the compaction on the new state succeeds
+    assert t.history()[0]["operation"] == "merge"
+    assert {r["url"]: r["val"] for r in t.read().collect()}["u1"] == "a3"
+    t.merge(_batch(spark, [("u4", "d", 7, "I")]), batch_id="e-4",
+            mode="delta")
+    res = t.compact(max_files_per_bucket=1)
+    assert res["compacted_buckets"] == 1
+    vals = {r["url"]: r["val"] for r in t.read().collect()}
+    assert vals["u1"] == "a3" and vals["u4"] == "d"
+
+
+def test_compact_conflicts_when_rebucket_changed_layout(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(t, lambda: racer.rebucket(4))
+    with pytest.raises(CommitConflict, match="rebucket"):
+        t.compact(max_files_per_bucket=1)
+    assert t.snapshot()["n_buckets"] == 4
+    assert t.read().count() == 3
+
+
+def test_compact_rebase_adopts_concurrent_schema_evolution(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    new_fields = FIELDS + [{"id": 3, "name": "extra", "type": "string"}]
+    _inject_before_commit(
+        t, lambda: racer.evolve(new_fields, note="add extra"))
+    res = t.compact(max_files_per_bucket=1)
+    assert res["compacted_buckets"] == 1
+    # the rebased snapshot carries the evolved schema; the compacted
+    # files (written pre-evolution) read back with NULL for the new
+    # column via their recorded physical signature
+    assert [f["name"] for f in t.fields()] == ["url", "val", "extra"]
+    rows = t.read().collect()
+    assert len(rows) == 3 and all(r["extra"] is None for r in rows)
