@@ -19,6 +19,15 @@ replay of everything present (same apply path, same final state).
 The reference's CLI analog is trials_extractor/main.py:52-157 (click
 command -> batch over files); here the "plan" is the streaming DAG, not
 a Python file list.
+
+``--maintain`` runs the job as an OUT-OF-BAND maintenance pass against
+a live table root instead of ingesting: small-file compaction
+(optionally sort- or Z-order-clustered), snapshot expiry, and orphan
+GC. This is the one deployment shape sanctioned to run beside the
+ingest stream (Iceberg rewrite_data_files-as-a-separate-job pattern):
+a compaction that loses the snapshot-commit race to delta-merge
+commits rebases on top of them (``LakeTable.compact``); expiry and GC
+are metadata-only and retry-safe.
 """
 
 from __future__ import annotations
@@ -33,11 +42,17 @@ from pyspark.sql import SparkSession
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="clinical_trials_etl_spark.job")
-    p.add_argument("--log-dir", required=True, help="WAL segment directory")
+    p.add_argument("--log-dir", help="WAL segment directory "
+                                     "(required unless --maintain)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
     p.add_argument("--stream", action="store_true",
                    help="tail via Structured Streaming (default: batch replay)")
+    p.add_argument("--maintain", action="store_true",
+                   help="run an out-of-band maintenance pass on --table "
+                        "(compact + optional expiry/GC) instead of "
+                        "ingesting; safe beside a live ingest stream — "
+                        "a lost commit race rebases, it does not abort")
     p.add_argument("--metrics", help="parquet path for per-batch metrics")
     p.add_argument("--n-buckets", type=int, default=64)
     from clinical_trials_etl_spark.cdc.apply import DEFAULT_SALT
@@ -49,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "merge-on-read layers (pair with --compact-every)")
     p.add_argument("--compact-every", type=int, default=None,
                    help="fold delta layers into base files every N "
-                        "applied epochs (streaming only)")
+                        "applied epochs (stream) / micro-batches (replay)")
     p.add_argument("--compact-sort-by", default=None,
                    help="range-cluster each bucket by this column "
                         "during the in-stream fold (e.g. warc_ts) so "
@@ -63,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact-rows-per-file", type=int, default=None,
                    help="split each clustered bucket into sorted "
                         "files of at most this many rows")
+    p.add_argument("--max-files-per-bucket", type=int, default=1,
+                   help="(--maintain) compact only buckets holding more "
+                        "than this many files")
+    p.add_argument("--expire-keep", type=int, default=None,
+                   help="(--maintain) after compaction, expire snapshots "
+                        "keeping the last N readable (tags always kept)")
+    p.add_argument("--gc-orphans-older-than", type=float, default=None,
+                   help="(--maintain) after expiry, delete crash-stranded "
+                        "files no snapshot references and older than "
+                        "this many seconds")
     p.add_argument("--key-bloom-bits", type=int, default=None,
                    help="record per-file key blooms of this many bits "
                         "in the manifest at every write (table-create "
@@ -99,6 +124,30 @@ def main(argv: list[str] | None = None) -> dict:
     from clinical_trials_etl_spark.cdc.stream import lineage_report, run_stream
     from clinical_trials_etl_spark.lake.table import LakeTable
 
+    if args.maintain:
+        if args.stream:
+            raise SystemExit("--maintain is exclusive with --stream")
+        table = LakeTable(spark, args.table)
+        compacted = table.compact(
+            max_files_per_bucket=args.max_files_per_bucket,
+            sort_by=args.compact_sort_by,
+            zorder_by=(args.compact_zorder_by.split(",")
+                       if args.compact_zorder_by else None),
+            rows_per_file=args.compact_rows_per_file,
+        )
+        result = {"mode": "maintain", "compact": compacted}
+        if args.expire_keep is not None:
+            result["expire"] = table.expire_snapshots(
+                keep_last=args.expire_keep)
+        if args.gc_orphans_older_than is not None:
+            result["gc"] = table.remove_orphans(
+                older_than_s=args.gc_orphans_older_than)
+        result["version"] = table.current_version()
+        print(json.dumps(result))
+        return result
+
+    if not args.log_dir:
+        raise SystemExit("--log-dir is required unless --maintain")
     if args.stream:
         if not args.checkpoint:
             raise SystemExit("--stream requires --checkpoint")
@@ -132,6 +181,8 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         table = replay(spark, args.log_dir, args.table,
                        n_buckets=args.n_buckets, n_salt=args.n_salt,
+                       merge_mode=args.merge_mode,
+                       compact_every=args.compact_every,
                        key_bloom_bits=args.key_bloom_bits)
         result = {
             "mode": "replay",

@@ -33,3 +33,43 @@ def test_job_batch_and_stream_converge(spark, tmp_path):
     ])
     assert again["version"] == stream["version"]
     assert again["rows"] == stream["rows"]
+
+
+def test_job_maintain_out_of_band(spark, tmp_path):
+    """--maintain: the out-of-band maintenance pass the compaction
+    rebase sanctions — delta-ingest with the job, then compact +
+    expire + GC against the same table root from a separate
+    invocation, state byte-identical throughout."""
+    log_dir = str(tmp_path / "log")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=3)
+
+    ingest = main([
+        "--log-dir", log_dir, "--table", str(tmp_path / "t"),
+        "--merge-mode", "delta",
+    ])
+    assert ingest["mode"] == "replay" and ingest["rows"] > 0
+
+    from clinical_trials_etl_spark.lake.table import LakeTable
+    t = LakeTable(spark, str(tmp_path / "t"))
+    before = {r["url"]: r["text"] for r in t.read().collect()}
+    layered = max(len(v) for v in t.snapshot()["manifests"].values())
+    assert layered > 1  # delta replay left layers for the fold
+
+    maint = main([
+        "--table", str(tmp_path / "t"), "--maintain",
+        "--compact-sort-by", "warc_ts",
+        "--expire-keep", "2", "--gc-orphans-older-than", "0",
+    ])
+    assert maint["mode"] == "maintain"
+    assert maint["compact"]["compacted_buckets"] > 0
+    assert maint["version"] == t.current_version()
+    assert "expire" in maint and "gc" in maint
+
+    after = {r["url"]: r["text"] for r in t.read().collect()}
+    assert after == before
+    assert max(len(v) for v in t.snapshot()["manifests"].values()) == 1
+
+    # ingesting without --log-dir is a usage error, not a crash
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--table", str(tmp_path / "t")])
