@@ -93,11 +93,15 @@ class CommitConflict(Exception):
     snapshot chain. Recovery: stop the duplicate job; a legitimate
     retry re-reads the table state and commits on top of the winner.
 
-    The ONE sanctioned concurrent writer is a maintenance
-    ``compact()`` running beside the ingest stream (the Iceberg
-    rewrite_data_files deployment pattern): a compaction that loses
+    The ONE sanctioned concurrent-writer pair is delta-mode ingest
+    beside maintenance (the Iceberg rewrite_data_files deployment
+    pattern), race-free in BOTH orders: a ``compact()`` that loses
     the race to delta-merge commits rebases its metadata on top of
-    them instead of raising — see ``_rebase_rewrite_base``."""
+    them (``_rebase_rewrite_base``), and a delta ``merge()`` that
+    loses to a maintenance commit re-commits its layer on top of the
+    winner (``_rebase_delta_merge_base``). Everything else — rival
+    merges, COW losers, layout changes under a rewrite — still fails
+    loudly."""
 
 
 # bounded optimistic-concurrency retries for the rebasing commit path
@@ -1583,7 +1587,7 @@ class LakeTable:
         consumed = {str(b): list(snap["manifests"].get(str(b), []))
                     for b in fat}
         base = snap
-        for _ in range(_COMMIT_RETRIES):
+        for attempt in range(_COMMIT_RETRIES):
             version = base["version"] + 1
             manifests = {b: list(v) for b, v in base["manifests"].items()}
             for b in fat:
@@ -1607,7 +1611,8 @@ class LakeTable:
                 base = self._rebase_rewrite_base(snap, fat, consumed)
                 continue
             self._append_lineage(version, lin)
-            return {"compacted_buckets": len(fat), "version": version}
+            return {"compacted_buckets": len(fat), "version": version,
+                    "rebases": attempt}
         raise CommitConflict(
             f"compaction lost the commit race {_COMMIT_RETRIES} times "
             f"in a row — rerun it")
@@ -2280,7 +2285,15 @@ class LakeTable:
         from GC until published or ``abort_staged``-ed.
 
         Returns commit stats. Re-submitting an applied ``batch_id`` is a
-        no-op (exactly-once under foreachBatch retry)."""
+        no-op (exactly-once under foreachBatch retry).
+
+        Concurrency: a DELTA merge that loses the snapshot-commit race
+        to a sanctioned maintenance commit (compaction, expiry, GC,
+        evolution) rebases — its layer is appended on top of the
+        winner, which is exactly "apply the batch to the winner's
+        state" under max-LSN reconciliation. A rival MERGE writer or a
+        concurrent rebucket is a hard CommitConflict, and COW merges
+        never rebase (their winner decision may be stale)."""
         if mode not in ("cow", "delta"):
             raise ValueError(f"unknown merge mode {mode!r}")
         if wap_id is not None:
@@ -2435,14 +2448,96 @@ class LakeTable:
                 "touched_buckets": len(touched),
             }
         snap2["lineage"] = lin_entry
-        self._write_snapshot(snap2)
-        self._append_lineage(version, lin_entry)
-        return {
-            "skipped": False,
-            "version": snap2["version"],
-            "merged_rows": merged_rows,
-            "touched_buckets": len(touched),
-        }
+        # Commit, rebasing a DELTA merge over sanctioned maintenance
+        # rivals (the other direction of compact()'s rebase — together
+        # they make ingest + out-of-band maintenance race-free in both
+        # orders): a delta layer is just "these events, reconcile by
+        # max-LSN at read", so appending it on top of a compaction /
+        # expiry / GC / evolution / rollback winner is exactly "apply
+        # the batch to the winner's state". A rival MERGE stays a hard
+        # conflict (two ingest writers violate the
+        # single-writer-per-checkpoint contract, and rebasing would
+        # risk the numbered-manifest clobber). COW merges never
+        # rebase: their winner decision was computed against the base
+        # state and may be stale.
+        base, rebases = snap, 0
+        for _ in range(_COMMIT_RETRIES):
+            try:
+                self._write_snapshot(snap2)
+            except CommitConflict:
+                if mode != "delta":
+                    raise
+                rebases += 1
+                base = self._rebase_delta_merge_base(snap)
+                if batch_id is not None and self.is_applied(batch_id, base):
+                    return {"skipped": True, "version": base["version"]}
+                version = base["version"] + 1
+                try:
+                    manifest_path = self._write_manifest(version, by_bucket)
+                except CommitConflict:
+                    # lost again in the re-read → manifest-write
+                    # window; the next loop pass re-conflicts on the
+                    # (now stale) snapshot and re-reads
+                    continue
+                manifests = {b: list(v)
+                             for b, v in base["manifests"].items()}
+                for b in by_bucket:
+                    manifests.setdefault(b, []).append(manifest_path)
+                snap2 = {
+                    "version": version,
+                    "parent": base["version"],
+                    "schema": base["schema"],
+                    "n_buckets": base["n_buckets"],
+                    **({"key_bloom_bits": base["key_bloom_bits"]}
+                       if "key_bloom_bits" in base else {}),
+                    "manifests": manifests,
+                    "batch_hwm": dict(base["batch_hwm"]),
+                    "applied_recent": list(base["applied_recent"]),
+                    "committed_at": time.time(),
+                    # rebase observability (bench/ops): how many times
+                    # this commit re-read and re-pointed before landing
+                    "lineage": dict(lin_entry, rebases=rebases),
+                }
+                if batch_id is not None:
+                    self._record_applied(snap2, batch_id)
+                continue
+            self._append_lineage(snap2["version"], snap2["lineage"])
+            return {
+                "skipped": False,
+                "version": snap2["version"],
+                "merged_rows": merged_rows,
+                "touched_buckets": len(touched),
+                "rebases": rebases,
+            }
+        raise CommitConflict(
+            f"merge lost the commit race {_COMMIT_RETRIES} times in a "
+            f"row — retry the batch")
+
+    def _rebase_delta_merge_base(self, snap0: dict) -> dict:
+        """Validate that a delta merge staged against ``snap0`` can
+        re-commit on top of the CURRENT snapshot after losing a commit
+        race, and return that snapshot. Sound iff every winning commit
+        since ``snap0`` was a sanctioned maintenance rival (compaction,
+        snapshot expiry, orphan GC, schema evolution, rebucket-free
+        rollback...) — anything that only changed layout/metadata, not
+        which events the table has logically absorbed. A rival MERGE
+        raises: two ingest writers on one table is a deployment error,
+        not a race to absorb. A bucket-layout change raises: the
+        staged layer's rows were bucketed with the old count and would
+        misroute."""
+        cur = self.snapshot()
+        if cur["n_buckets"] != snap0["n_buckets"]:
+            raise CommitConflict(
+                "a concurrent rebucket changed the partition layout "
+                "under this merge — re-bucket the batch and retry")
+        for v in range(snap0["version"] + 1, cur["version"] + 1):
+            lin = self.snapshot(v).get("lineage")
+            if lin is not None and lin.get("type") == "merge":
+                raise CommitConflict(
+                    f"version {v} was committed by a concurrent MERGE "
+                    f"writer — one ingest writer per table; stop the "
+                    f"duplicate job")
+        return cur
 
     # --------------------------------------------- write-audit-publish
 

@@ -207,3 +207,77 @@ def test_compact_rebase_adopts_concurrent_schema_evolution(spark, tmp_path):
     assert [f["name"] for f in t.fields()] == ["url", "val", "extra"]
     rows = t.read().collect()
     assert len(rows) == 3 and all(r["extra"] is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# delta-merge rebase-on-conflict (the other direction: ingest loses the
+# race to an out-of-band maintenance commit)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_merge_rebases_over_concurrent_compaction(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(t, lambda: racer.compact(max_files_per_bucket=1))
+
+    res = t.merge(_batch(spark, [("u1", "a3", 5, "U"), ("u9", "z", 6, "I")]),
+                  batch_id="e-3", mode="delta")
+    assert res["skipped"] is False
+
+    # the maintenance winner is preserved underneath the merge
+    hist = t.history()
+    assert hist[0]["operation"] == "merge"
+    assert hist[1]["operation"] == "compaction"
+    assert hist[0]["parent"] == hist[1]["version"]
+
+    # state == compact-then-merge serialized ordering
+    ref = _delta_table(spark, tmp_path, name="ref")
+    ref.compact(max_files_per_bucket=1)
+    ref.merge(_batch(spark, [("u1", "a3", 5, "U"), ("u9", "z", 6, "I")]),
+              batch_id="e-3", mode="delta")
+    cols = ["url", "val"]
+    assert (sorted(t.read().select(*cols).collect())
+            == sorted(ref.read().select(*cols).collect()))
+
+    # exactly-once survived the rebase; the feed reads the rebased
+    # commit's numbered manifest
+    assert t.merge(_batch(spark, [("u1", "a3", 5, "U")]),
+                   batch_id="e-3", mode="delta").get("skipped") is True
+    feed = t.changes(res["version"] - 1, res["version"])
+    assert {r["url"] for r in feed.collect()} == {"u1", "u9"}
+
+
+def test_delta_merge_conflicts_with_rival_merge_writer(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(
+        t, lambda: racer.merge(_batch(spark, [("u8", "y", 9, "I")]),
+                               batch_id="rival-1", mode="delta"))
+    with pytest.raises(CommitConflict, match="MERGE writer"):
+        t.merge(_batch(spark, [("u9", "z", 6, "I")]),
+                batch_id="e-3", mode="delta")
+    # the rival's commit is intact
+    assert {r["url"] for r in t.read().collect()} >= {"u8"}
+
+
+def test_cow_merge_never_rebases(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(t, lambda: racer.compact(max_files_per_bucket=1))
+    with pytest.raises(CommitConflict):
+        t.merge(_batch(spark, [("u9", "z", 6, "I")]),
+                batch_id="e-3", mode="cow")
+
+
+def test_delta_merge_conflicts_when_rebucket_won(spark, tmp_path):
+    t = _delta_table(spark, tmp_path)
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(t, lambda: racer.rebucket(4))
+    with pytest.raises(CommitConflict, match="rebucket"):
+        t.merge(_batch(spark, [("u9", "z", 6, "I")]),
+                batch_id="e-3", mode="delta")
+    # a straight retry re-buckets the batch against the new layout
+    res = t.merge(_batch(spark, [("u9", "z", 6, "I")]),
+                  batch_id="e-3", mode="delta")
+    assert res["skipped"] is False
+    assert {r["url"]: r["val"] for r in t.read().collect()}["u9"] == "z"
