@@ -332,24 +332,34 @@ class LakeTable:
 
     def _write_manifest(self, version: int,
                         by_bucket: dict[str, list[dict]]) -> str:
-        """Write the per-commit manifest create-if-absent. An existing
-        manifest for a version whose SNAPSHOT already committed means
-        a concurrent writer won — CommitConflict before we clobber its
-        file list. An existing manifest with NO committed snapshot is
-        residue of a crashed attempt (write-then-commit order), which
-        a single-writer retry legitimately replaces."""
-        path = self._manifest_path(version)
-        if os.path.exists(path) and os.path.exists(self._snap_path(version)):
-            raise CommitConflict(
-                f"manifest for version {version} belongs to an "
-                f"already-committed snapshot from a concurrent writer")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        """Write a per-commit manifest at a UNIQUE path and return it.
+
+        Manifests are path-referenced everywhere — snapshot manifest
+        lists, and the change feed resolves a merge commit's own
+        manifest from its lineage entry (``commit_manifest``) — so no
+        two writers can ever compute the same target filename: rivals
+        racing on one version number each write their own file and
+        exactly one wins the snapshot's create-if-absent commit; the
+        loser's manifest is inert residue, never a silent cross-link
+        into the winner's snapshot (the failure mode a shared
+        ``manifest-<version>.json`` name admits during the
+        write-then-commit window). The embedded version is the
+        writer's target AT WRITE TIME — provisional until the
+        snapshot commits; a rebased commit re-points the same file at
+        a higher version (see ``merge``/``compact``)."""
+        path = os.path.join(
+            self.meta_dir,
+            f"manifest-{version:08d}-{uuid.uuid4().hex[:12]}.json")
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version, "files": by_bucket}, f, indent=1)
         os.replace(tmp, path)
         return path
 
     def _manifest_path(self, version: int) -> str:
+        """Legacy shared-name manifest location — READ fallback only
+        (tables written before manifests went unique-path); no writer
+        targets it anymore."""
         return os.path.join(self.meta_dir, f"manifest-{version:08d}.json")
 
     @property
@@ -1101,7 +1111,8 @@ class LakeTable:
                     f"state from a full read instead")
             if lin is None or lin.get("type") != "merge":
                 continue  # maintenance/evolution: no logical change
-            with open(self._manifest_path(v)) as f:
+            with open(lin.get("commit_manifest")
+                      or self._manifest_path(v)) as f:
                 man = json.load(f)
             entries = [e for group in man["files"].values() for e in group]
             if not entries:
@@ -1296,7 +1307,8 @@ class LakeTable:
                 stable_buckets = False
             if lin is None or lin.get("type") != "merge":
                 continue
-            with open(self._manifest_path(v)) as f:
+            with open(lin.get("commit_manifest")
+                      or self._manifest_path(v)) as f:
                 man = json.load(f)
             entries = [e for group in man["files"].values()
                        for e in group]
@@ -1554,20 +1566,12 @@ class LakeTable:
         by_bucket: dict[str, list[dict]] = {}
         for fmeta in new_files:
             by_bucket.setdefault(str(fmeta["bucket"]), []).append(fmeta)
-        # The manifest is path-referenced everywhere (only MERGE
-        # commits must own manifest-<version>.json — the change feed
-        # reads those by number), so the rewrite's manifest is written
-        # ONCE at a unique path and re-pointed across commit retries:
-        # a retry never replaces a concurrent merge's numbered
-        # manifest, closing the write-then-commit clobber window for
-        # the one op that legitimately runs beside the ingest writer.
-        manifest_path = os.path.join(
-            self.meta_dir, f"manifest-compact-{uuid.uuid4().hex}.json")
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": snap["version"] + 1,
-                       "files": by_bucket}, f, indent=1)
-        os.replace(tmp, manifest_path)
+        # Manifests are path-referenced everywhere (the change feed
+        # resolves a merge's own manifest from its lineage entry), so
+        # the rewrite's manifest is written ONCE at a unique path and
+        # re-pointed across commit retries — no writer can clobber
+        # another's file list during the write-then-commit window.
+        manifest_path = self._write_manifest(snap["version"] + 1, by_bucket)
         lin = {"type": "compaction", "buckets": sorted(fat),
                **({"sort_by": sort_cols} if sort_by else {}),
                **({"zorder_by": z_cols} if zorder_by else {})}
@@ -2429,6 +2433,11 @@ class LakeTable:
             "batch_id": batch_id,
             "merged_rows": merged_rows,
             "touched_buckets": sorted(touched),
+            # the commit's OWN manifest — the change feed reads a
+            # merge's exact file set from here (unique path; for WAP
+            # stagings publish_staged re-points this at the adopted
+            # chain copy)
+            "commit_manifest": manifest_path,
             **(lineage or {}),
         }
         if wap_id is not None:
@@ -2456,8 +2465,7 @@ class LakeTable:
         # expiry / GC / evolution / rollback winner is exactly "apply
         # the batch to the winner's state". A rival MERGE stays a hard
         # conflict (two ingest writers violate the
-        # single-writer-per-checkpoint contract, and rebasing would
-        # risk the numbered-manifest clobber). COW merges never
+        # single-writer-per-checkpoint contract). COW merges never
         # rebase: their winner decision was computed against the base
         # state and may be stale.
         base, rebases = snap, 0
@@ -2472,13 +2480,9 @@ class LakeTable:
                 if batch_id is not None and self.is_applied(batch_id, base):
                     return {"skipped": True, "version": base["version"]}
                 version = base["version"] + 1
-                try:
-                    manifest_path = self._write_manifest(version, by_bucket)
-                except CommitConflict:
-                    # lost again in the re-read → manifest-write
-                    # window; the next loop pass re-conflicts on the
-                    # (now stale) snapshot and re-reads
-                    continue
+                # the already-written unique-path manifest is REUSED —
+                # its file list is exactly this batch's layer; only
+                # the snapshot pointers move to the new version
                 manifests = {b: list(v)
                              for b, v in base["manifests"].items()}
                 for b in by_bucket:
@@ -2650,21 +2654,21 @@ class LakeTable:
         snap2 = rec["snap"]
         version = snap2["version"]
         staged_man = self._staged_manifest_path(wap_id)
-        man_path = self._manifest_path(version)
-        if os.path.exists(man_path):
-            if os.path.exists(self._snap_path(version)):
-                raise CommitConflict(
-                    f"manifest for version {version} belongs to an "
-                    f"already-committed snapshot from a concurrent "
-                    f"writer")
-            os.remove(man_path)  # crashed earlier attempt's residue
+        # adopt the staged manifest into the chain at a UNIQUE path
+        # (hard link — the staged copy is removed after commit), so a
+        # crashed or raced publish leaves only inert residue and can
+        # never clobber a rival's manifest
+        man_path = os.path.join(
+            self.meta_dir,
+            f"manifest-{version:08d}-{uuid.uuid4().hex[:12]}.json")
         os.link(staged_man, man_path)
         snap2["manifests"] = {
             b: [man_path if p == staged_man else p for p in lst]
             for b, lst in snap2["manifests"].items()
         }
         snap2["committed_at"] = time.time()
-        lin = {**rec["lineage"], "wap_id": wap_id}
+        lin = {**rec["lineage"], "wap_id": wap_id,
+               "commit_manifest": man_path}
         snap2["lineage"] = lin
         self._write_snapshot(snap2)
         self._append_lineage(version, lin)

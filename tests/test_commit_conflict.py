@@ -7,9 +7,10 @@ when that assumption is violated or a commit crashes mid-flight:
 - committing a version that already exists raises CommitConflict
   (atomic create-if-absent via hard link) instead of silently
   last-writer-wins overwriting the snapshot chain;
-- a manifest left by a CRASHED attempt (write-then-commit order, no
-  snapshot landed) is legitimately replaced by the single-writer
-  retry; a manifest belonging to a COMMITTED snapshot is not;
+- manifests live at unique paths and are only ever reachable through
+  a committed snapshot / lineage entry, so rivals racing on one
+  version number can't cross-link each other's file lists during the
+  write-then-commit window — the loser's manifest is inert residue;
 - the _current pointer is a hint: a crash between snapshot link and
   pointer update self-heals (roll-forward), it does not wedge the
   next commit in an unwinnable conflict;
@@ -60,22 +61,37 @@ def test_snapshot_commit_conflict_raises(spark, tmp_path):
     assert t.read().count() == 2
 
 
-def test_crashed_manifest_residue_is_replaced_on_retry(spark, tmp_path):
+def test_manifests_are_unique_path_never_clobbered(spark, tmp_path):
+    """Two writers racing on the SAME version number each get their
+    own manifest file — the write-then-commit window can't cross-link
+    one writer's committed snapshot to the other's file list."""
     t = _table(spark, tmp_path)
     v_next = t.current_version() + 1
-    # crashed attempt: manifest written, snapshot never committed
-    t._write_manifest(v_next, {"0": []})
-    # the single-writer retry replaces the residue and commits
+    p1 = t._write_manifest(v_next, {"0": [{"path": "rival-a"}]})
+    p2 = t._write_manifest(v_next, {"0": [{"path": "rival-b"}]})
+    assert p1 != p2 and os.path.exists(p1) and os.path.exists(p2)
+    import json
+    with open(p1) as f:
+        assert json.load(f)["files"]["0"][0]["path"] == "rival-a"
+    # crashed-attempt residue never blocks the single-writer retry
     t.merge(_batch(spark, [("u2", "b", 2, "I")]), batch_id="e-2")
     assert t.current_version() == v_next
     assert t.read().count() == 2
 
 
-def test_manifest_of_committed_snapshot_is_protected(spark, tmp_path):
+def test_rival_merge_loser_cannot_corrupt_winner_state(spark, tmp_path):
+    """COW rival merges on one base: the loser raises and the winner's
+    committed version reads back the WINNER's rows — its snapshot
+    references only its own manifest, not the loser's."""
     t = _table(spark, tmp_path)
-    v = t.current_version()  # v1: committed merge with its manifest
-    with pytest.raises(CommitConflict, match="already-committed"):
-        t._write_manifest(v, {"0": []})
+    racer = LakeTable(spark, t.root)
+    _inject_before_commit(
+        t, lambda: racer.merge(_batch(spark, [("u7", "winner", 7, "I")]),
+                               batch_id="rival-w"))
+    with pytest.raises(CommitConflict):
+        t.merge(_batch(spark, [("u8", "loser", 8, "I")]), batch_id="e-2")
+    vals = {r["url"]: r["val"] for r in t.read().collect()}
+    assert vals.get("u7") == "winner" and "u8" not in vals
 
 
 def test_stale_current_pointer_rolls_forward(spark, tmp_path):
@@ -151,10 +167,13 @@ def test_compact_rebases_over_concurrent_delta_merge(spark, tmp_path):
             == sorted(ref.read().select(*cols).collect()))
 
     # the adopted layer sits ON TOP of the compacted base in the
-    # manifest list (base first, newer layers after)
+    # manifest list (base first, newer layers after): the rebased
+    # winner's own manifest (recorded in its lineage) is the LAST
+    # entry, the compacted fold the first
     snap = t.snapshot()
     lists = snap["manifests"]["0"]
-    assert len(lists) == 2 and "compact-" in lists[0]
+    merge_manifest = hist[1]["detail"]["commit_manifest"]
+    assert len(lists) == 2 and lists[1] == merge_manifest
 
     # the winner's idempotency-ledger entry survived the rebase:
     # re-delivering its epoch is a metadata no-op
@@ -239,8 +258,8 @@ def test_delta_merge_rebases_over_concurrent_compaction(spark, tmp_path):
     assert (sorted(t.read().select(*cols).collect())
             == sorted(ref.read().select(*cols).collect()))
 
-    # exactly-once survived the rebase; the feed reads the rebased
-    # commit's numbered manifest
+    # exactly-once survived the rebase; the feed resolves the rebased
+    # commit's own manifest from its lineage entry
     assert t.merge(_batch(spark, [("u1", "a3", 5, "U")]),
                    batch_id="e-3", mode="delta").get("skipped") is True
     feed = t.changes(res["version"] - 1, res["version"])
