@@ -462,3 +462,39 @@ def test_window_feed_column_pruned(spark, tmp_path):
     for s in schemas:
         assert "f_3" not in s, f"html column crossed a scan: {s}"
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feed_reads_legacy_numbered_manifest(spark, tmp_path):
+    """Backward compat: tables committed before manifests went
+    unique-path recorded no ``commit_manifest`` in lineage and kept
+    each merge's manifest at the numbered ``manifest-<version>.json``
+    location — the feed's read fallback must still serve them."""
+    import json as _json
+    import os as _os
+
+    t = LakeTable.create(spark, str(tmp_path / "legacy"), FIELDS,
+                         "url", n_buckets=2)
+    t.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I")]),
+            batch_id="e-1", mode="delta")
+    v = t.current_version()
+    lin = t._lineage_entry(v)
+    # rewrite the commit's metadata to the pre-unique-path shape
+    _os.link(lin["commit_manifest"], t._manifest_path(v))
+    snap_path = t._snap_path(v)
+    with open(snap_path) as f:
+        snap = _json.load(f)
+    snap["lineage"].pop("commit_manifest")
+    with open(snap_path, "w") as f:
+        _json.dump(snap, f)
+    side = _os.path.join(t.lineage_dir, f"lin-{v:08d}.json")
+    if _os.path.exists(side):
+        with open(side) as f:
+            entry = _json.load(f)
+        entry.pop("commit_manifest", None)
+        with open(side, "w") as f:
+            _json.dump(entry, f)
+
+    t2 = LakeTable(spark, t.root)  # fresh handle, no cached state
+    feed = t2.changes(v - 1, v)
+    rows = {r["url"]: r["_change_type"] for r in feed.collect()}
+    assert rows == {"u1": "upsert", "u2": "upsert"}
