@@ -142,3 +142,26 @@ def replace_partition_statement(
         f"ALTER TABLE {table_name} REPLACE PARTITION FIELD "
         f"bucket({old_n}, {key}) WITH bucket({new_n}, {key})"
     )
+
+
+def time_travel_select(
+    table_name: str,
+    version: int | None = None,
+    as_of_ts: str | None = None,
+    columns: list[str] | None = None,
+) -> str:
+    """Time-travel SELECT matching :meth:`LakeTable.read`'s
+    ``version=`` / ``as_of=`` options on a real catalog: Spark's
+    native time-travel clause (``VERSION AS OF`` / ``TIMESTAMP AS
+    OF``, executed by Iceberg against its snapshot log). Exactly one
+    of ``version`` / ``as_of_ts`` must be given; ``as_of_ts`` is an
+    ANSI timestamp string (the caller formats — the stand-in's float
+    epoch is a local-format concern, not SQL surface)."""
+    if (version is None) == (as_of_ts is None):
+        raise ValueError("pass exactly one of version / as_of_ts")
+    cols = ", ".join(columns) if columns else "*"
+    if version is not None:
+        clause = f"VERSION AS OF {int(version)}"
+    else:
+        clause = f"TIMESTAMP AS OF TIMESTAMP '{as_of_ts}'"
+    return f"SELECT {cols} FROM {table_name} {clause}"

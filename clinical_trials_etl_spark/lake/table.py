@@ -422,6 +422,52 @@ class LakeTable:
         with open(self._snap_path(version)) as f:
             return json.load(f)
 
+    def version_as_of(self, ts) -> int:
+        """Resolve a wall-clock instant to the snapshot that was
+        current then (Iceberg ``FOR SYSTEM_TIME AS OF`` / Delta
+        ``timestampAsOf`` analog): the HIGHEST existing version whose
+        ``committed_at`` <= ``ts``. Commit timestamps are stamped at
+        snapshot-link time, so they are monotone in version and the
+        lookup is exact, not heuristic. ``ts`` is epoch seconds or a
+        ``datetime`` (naive = local time, tz-aware respected —
+        ``datetime.timestamp()`` semantics).
+
+        Raises when the table didn't exist at ``ts``. Resolution
+        itself always stays exact under retention —
+        ``expire_snapshots`` drops old snapshots' *data files* but
+        keeps every snapshot JSON — though READING the resolved
+        version can still fail at scan time if its files were
+        expired, same as ``read(version=old)``. Driver-side metadata
+        only."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = -1
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                snap = json.load(f)
+            if snap["committed_at"] <= ts and snap["version"] > best:
+                best = snap["version"]
+        if best < 0:
+            raise ValueError(
+                f"no snapshot existed at ts={ts} (table created later)")
+        # meta-dir holes (a partial copy/manual cleanup — never this
+        # format's own retention, which keeps all snapshot JSONs): if
+        # ``best``'s immediate successor's JSON is gone its commit
+        # time is unknowable — it may have been <= ts, making ``best``
+        # stale at that instant. Refuse rather than silently hand back
+        # an earlier state.
+        if (best < self.current_version()
+                and not os.path.exists(self._snap_path(best + 1))):
+            raise ValueError(
+                f"snapshot v{best + 1} (the successor of the resolved "
+                f"v{best}) is missing from the metadata dir — whether "
+                f"v{best} was still current at ts={ts} is unknowable; "
+                f"time-travel by version or tag instead")
+        return best
+
     # ---------------------------------------------------------- refs
 
     _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
@@ -875,6 +921,7 @@ class LakeTable:
         version: int | str | None = None,
         columns: list[str] | None = None,
         between: tuple | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Live rows at a snapshot (delta layers reconciled, tombstones
         filtered, system cols off).
@@ -896,7 +943,14 @@ class LakeTable:
         files that make the skipping effective: a time-window read of
         a year-long pages table then touches O(window) files.
 
-        ``version`` also accepts a tag name (read-at-ref)."""
+        ``version`` also accepts a tag name (read-at-ref);
+        ``as_of`` (epoch seconds or datetime, exclusive with
+        ``version``) time-travels to the snapshot current at that
+        wall-clock instant via ``version_as_of``."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         return self._read_snap(self.snapshot(version), columns, between)
 
     def _read_snap(
@@ -1255,9 +1309,13 @@ class LakeTable:
         ``_commit_version = to_version``.
 
         Output schema and ``pre_images``/``columns`` semantics match
-        ``changes()``; intermediate churn (a key inserted and deleted
-        inside the window) emits nothing, and a key whose end-state
-        winner equals its start-state winner emits nothing. Raises on
+        ``changes()``; a key whose end-state winner equals its
+        start-state winner emits nothing. Intermediate churn (a key
+        inserted AND deleted inside the window) emits no pre/post
+        image pair — in net mode it surfaces as a single ``delete``
+        row (an idempotent no-op for a consumer that never saw the
+        key), so downstream folds land on the same state either way
+        (pinned in tests/test_change_feed.py). Raises on
         rollbacks in range and on windows whose commit manifests lost
         files to ``expire_snapshots`` (same contracts as
         ``changes()``)."""

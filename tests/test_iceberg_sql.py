@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from clinical_trials_etl_spark.cdc.apply import apply_batch
 from clinical_trials_etl_spark.cdc.registry import PAGES_REGISTRY, diff
 from clinical_trials_etl_spark.cdc.replay import create_pages_table
@@ -129,9 +131,29 @@ def test_every_rendered_statement_parses_with_sparks_own_parser(spark):
         *I.alter_statements("t", diff(PAGES_REGISTRY[1], PAGES_REGISTRY[4])),
         I.merge_statement("lake.pages", "batch_v", PAGES_REGISTRY[1], "url"),
         I.merge_statement("lake.pages", "batch_v", PAGES_REGISTRY[4], "url"),
+        I.time_travel_select("lake.pages", version=7),
+        I.time_travel_select("lake.pages",
+                             as_of_ts="2026-08-19 00:00:00",
+                             columns=["url", "lang"]),
     ]
     for s in stmts:
         parser.parsePlan(s)  # raises ParseException on invalid SQL
+
+
+def test_time_travel_select_golden():
+    assert I.time_travel_select("lake.pages", version=3) == (
+        "SELECT * FROM lake.pages VERSION AS OF 3"
+    )
+    assert I.time_travel_select(
+        "lake.pages", as_of_ts="2026-08-19 00:00:00", columns=["url"]
+    ) == (
+        "SELECT url FROM lake.pages "
+        "TIMESTAMP AS OF TIMESTAMP '2026-08-19 00:00:00'"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        I.time_travel_select("t")
+    with pytest.raises(ValueError, match="exactly one"):
+        I.time_travel_select("t", version=1, as_of_ts="2026-01-01")
 
 
 def test_replace_partition_is_iceberg_extension_syntax(spark):

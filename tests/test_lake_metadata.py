@@ -276,3 +276,52 @@ def test_compact_uses_distributed_stats_above_threshold(spark, tmp_path):
     assert after == before
     # the compacted manifests carry usable stats on the sort column
     assert all(e["stats"].get("f_1") for e in table.files())
+
+
+def test_read_as_of_timestamp_time_travel(spark, tmp_path):
+    """`FOR SYSTEM_TIME AS OF` analog: version_as_of resolves a wall
+    instant to the snapshot current then; read(as_of=) returns that
+    state; instants before the table existed (or whose snapshot was
+    expired) raise instead of nearest-neighboring."""
+    import datetime
+
+    table = create_pages_table(spark, str(tmp_path / "t_asof"), n_buckets=2)
+    apply_batch(table, _batch(spark, 0, ["https://a/1"]), "e-0")
+    apply_batch(table, _batch(spark, 10, ["https://a/2"]), "e-1")
+    apply_batch(table, _batch(spark, 20, ["https://a/3"]), "e-2")
+
+    times = {}
+    for v in range(table.current_version() + 1):
+        times[v] = table.snapshot(v)["committed_at"]
+
+    # strictly between v1 and v2 commits -> resolves to v1's state
+    mid = (times[1] + times[2]) / 2
+    assert table.version_as_of(mid) == 1
+    urls = {r["url"] for r in table.read(as_of=mid).select("url").collect()}
+    assert urls == {"https://a/1"}  # e-0 only: v1 is the first merge
+
+    # datetime accepted (tz-aware)
+    dt = datetime.datetime.fromtimestamp(mid, tz=datetime.timezone.utc)
+    assert table.version_as_of(dt) == 1
+
+    # at-or-after the newest commit -> current version
+    assert table.version_as_of(times[table.current_version()] + 1) \
+        == table.current_version()
+
+    # before the table existed -> error, never a silent nearest pick
+    with pytest.raises(ValueError, match="no snapshot existed"):
+        table.version_as_of(times[0] - 10.0)
+
+    # version and as_of are exclusive
+    with pytest.raises(ValueError, match="not both"):
+        table.read(version=1, as_of=mid)
+
+    # monotone tie handling: exactly at a commit instant -> that commit
+    assert table.version_as_of(times[2]) == 2
+
+    # meta-dir hole (manual damage, not retention — expire keeps all
+    # snapshot JSONs): resolving just below a missing successor must
+    # refuse, never silently return the older state
+    os.remove(table._snap_path(2))
+    with pytest.raises(ValueError, match="missing from the metadata"):
+        table.version_as_of(mid)
