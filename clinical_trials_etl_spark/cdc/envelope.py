@@ -1,0 +1,132 @@
+"""Change-feed export as Debezium-style JSON envelopes.
+
+The feed side of the CDC story so far points INTO the lake
+(``changes()`` / ``changes_window()`` feed mirrors and incremental
+views). This module points OUT: it renders a feed window as the
+interchange format the wider CDC ecosystem consumes — one JSON object
+per (key, commit) with ``before`` / ``after`` images, a Debezium op
+code, the commit wall-clock, and a ``source`` block carrying the
+table, LSN and snapshot version (Debezium's envelope contract;
+concepts from the public Debezium documentation — no Debezium code).
+Anything that reads Debezium topics (warehouse loaders, cache
+invalidators, search indexers) can then tail this table without
+speaking the lake format.
+
+Shape per row (JSON Lines, one envelope per line):
+
+    {"before": {...}|null, "after": {...}|null,
+     "op": "c"|"u"|"d", "ts_ms": <commit epoch millis>,
+     "source": {"table": ..., "lsn": ..., "version": <commit>}}
+
+Scale shape: one column-pruned feed read + one groupBy on
+(key, commit) to pair pre/post images + a distributed JSON write —
+O(changes in window), never O(table); no driver-side rows. Binary
+columns follow Spark's JSON writer convention (base64).
+
+The reference has no change-export surface at all — consumers re-poll
+full collections (trials_extractor/storage/mongodb_storage.py); this
+is the incremental replacement for that polling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinical_trials_etl_spark.lake.table import LakeTable
+
+_AFTER_TYPES = ("insert", "update_postimage")
+_BEFORE_TYPES = ("update_preimage", "delete")
+
+
+def changes_envelope(
+    source: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The feed window ``(from_version, to_version]`` as one envelope
+    row per (key, commit): ``before`` / ``after`` structs, Debezium
+    ``op`` (c=create, u=update, d=delete), ``ts_ms`` commit time,
+    ``source`` provenance. Built on ``changes(pre_images=True)`` so a
+    key touched in K commits yields K envelopes in commit order —
+    the per-commit granularity downstream appliers expect.
+
+    ``source.lsn`` is the after-image's LSN; for deletes (no after
+    image) it is the deleted row's final pre-image LSN — the image
+    feed's convention (a tombstone's own LSN is not an image).
+    Consumers order by (ts_ms, source.version), which is total and
+    commit-accurate either way."""
+    cur = source.current_version()
+    if to_version is None:
+        to_version = cur
+    feed = source.changes(
+        from_version, to_version, columns=columns, pre_images=True)
+    key = source.key_field()
+    data_cols = [c for c in feed.columns
+                 if c not in ("_lsn", "_change_type", "_commit_version")]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+    img = F.struct(F.col("_lsn").alias("lsn"), payload.alias("p"))
+
+    # at most one after-image and one before-image row exist per
+    # (key, commit) — max() just selects the single non-null struct
+    agg = (
+        feed.groupBy(F.col(key).alias("_k"), F.col("_commit_version"))
+        .agg(
+            F.max(F.when(F.col("_change_type").isin(*_AFTER_TYPES), img))
+            .alias("_aft"),
+            F.max(F.when(F.col("_change_type").isin(*_BEFORE_TYPES), img))
+            .alias("_bef"),
+            F.max(F.col("_change_type") == "delete").alias("_is_del"),
+        )
+    )
+
+    # commit wall-clock: bounded driver-side metadata (one snapshot
+    # JSON per commit in the window), folded in as a literal map
+    ts_pairs: list = []
+    for v in range(from_version + 1, to_version + 1):
+        ts_pairs.append(F.lit(v))
+        ts_pairs.append(
+            F.lit(int(source.snapshot(v)["committed_at"] * 1000)))
+    ts_ms = F.create_map(*ts_pairs)[F.col("_commit_version")]
+
+    op = (
+        F.when(F.col("_is_del"), F.lit("d"))
+        .when(F.col("_bef").isNull(), F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    return agg.select(
+        F.col("_bef.p").alias("before"),
+        F.when(F.col("_is_del"), F.lit(None)).otherwise(F.col("_aft.p"))
+        .alias("after"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.struct(
+            F.lit(source.root).alias("table"),
+            F.coalesce(F.col("_aft.lsn"), F.col("_bef.lsn")).alias("lsn"),
+            F.col("_commit_version").alias("version"),
+        ).alias("source"),
+    )
+
+
+def export_changes_envelope(
+    source: LakeTable,
+    out_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    columns: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write the envelope feed as JSON Lines under ``out_dir`` —
+    distributed executor-side writes, one object per line, ready for
+    any Debezium-speaking consumer. Returns the window exported so a
+    caller can persist its own offset; for exactly-once delivery INTO
+    a LakeTable use ``cdc.mirror`` instead (its offset commits
+    atomically with the data)."""
+    cur = source.current_version()
+    if to_version is None:
+        to_version = cur
+    changes_envelope(source, from_version, to_version, columns) \
+        .write.mode(mode).json(out_dir)
+    return {"from_version": from_version, "to_version": to_version,
+            "path": out_dir}

@@ -498,3 +498,102 @@ def test_feed_reads_legacy_numbered_manifest(spark, tmp_path):
     feed = t2.changes(v - 1, v)
     rows = {r["url"]: r["_change_type"] for r in feed.collect()}
     assert rows == {"u1": "upsert", "u2": "upsert"}
+
+
+# ------------------------------------------------ Debezium envelopes
+
+
+def test_envelope_ops_and_images(table):
+    """changes_envelope: one envelope per (key, commit) with Debezium
+    op codes and before/after images matching the feed's pre/post
+    rows — across COW, delta, redelivery-no-op, stale-update-no-op,
+    tombstone-resurrection and maintenance commits."""
+    from clinical_trials_etl_spark.cdc.envelope import changes_envelope
+
+    rows = changes_envelope(table, 0).collect()
+    got = {(r["source"]["version"], (r["before"] or r["after"])["url"]):
+           r for r in rows}
+    assert len(rows) == len(got) == 9
+
+    # v1: three creates
+    for u, val, lsn in [("u1", "a", 1), ("u2", "b", 2), ("u3", "c", 3)]:
+        e = got[(1, u)]
+        assert e["op"] == "c" and e["before"] is None
+        assert e["after"]["val"] == val and e["source"]["lsn"] == lsn
+
+    # v2: update u1 (both images), delete u2 (before only, pre lsn),
+    # redelivered u3 emits nothing
+    e = got[(2, "u1")]
+    assert e["op"] == "u"
+    assert e["before"]["val"] == "a" and e["after"]["val"] == "a2"
+    assert e["source"]["lsn"] == 10
+    e = got[(2, "u2")]
+    assert e["op"] == "d" and e["after"] is None
+    assert e["before"]["val"] == "b" and e["source"]["lsn"] == 2
+    assert (2, "u3") not in got
+
+    # v3 delta: create u4; the stale u1 update (lsn 5 < 10) is silent
+    assert got[(3, "u4")]["op"] == "c"
+    assert (3, "u1") not in got
+
+    # v5: u2 resurrects as a CREATE (pre-state winner is a tombstone,
+    # not a live row); u4 updates
+    assert got[(5, "u2")]["op"] == "c"
+    assert got[(5, "u2")]["before"] is None
+    e = got[(5, "u4")]
+    assert e["op"] == "u" and e["before"]["val"] == "d"
+    assert e["after"]["val"] == "d2"
+
+    # v7 delta: delete u3
+    e = got[(7, "u3")]
+    assert e["op"] == "d" and e["before"]["val"] == "c"
+
+    # maintenance commits (v4 compaction, v6 rebucket) emit nothing
+    assert not [k for k in got if k[0] in (4, 6)]
+
+    # a Debezium consumer folding the envelopes in commit order lands
+    # on the final table state
+    state: dict[str, str] = {}
+    for r in sorted(rows, key=lambda r: r["source"]["version"]):
+        k = (r["before"] or r["after"])["url"]
+        if r["op"] == "d":
+            state.pop(k, None)
+        else:
+            state[k] = r["after"]["val"]
+    assert state == {r["url"]: r["val"] for r in table.read().collect()}
+
+
+def test_envelope_jsonl_export_round_trip(table, tmp_path):
+    """export_changes_envelope writes executor-side JSON Lines any
+    Debezium-speaking consumer can parse: one object per line with
+    before/after/op/ts_ms/source, ts_ms = the commit's wall-clock."""
+    import glob
+    import json as _json
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        export_changes_envelope,
+    )
+
+    out = str(tmp_path / "envelopes")
+    res = export_changes_envelope(table, out, 0)
+    assert res["to_version"] == table.current_version()
+
+    objs = []
+    for part in glob.glob(out + "/part-*"):
+        with open(part) as f:
+            objs += [_json.loads(line) for line in f if line.strip()]
+    assert len(objs) == 9
+    for o in objs:
+        assert o["op"] in ("c", "u", "d")
+        assert ("before" in o) or ("after" in o)  # JSON omits nulls
+        v = o["source"]["version"]
+        want_ms = int(table.snapshot(v)["committed_at"] * 1000)
+        assert o["ts_ms"] == want_ms
+        assert o["source"]["table"] == table.root
+    # window export for an incremental poller: versions (5, 7] only
+    res2 = export_changes_envelope(table, str(tmp_path / "w"), 5)
+    objs2 = []
+    for part in glob.glob(str(tmp_path / "w") + "/part-*"):
+        with open(part) as f:
+            objs2 += [_json.loads(line) for line in f if line.strip()]
+    assert {o["source"]["version"] for o in objs2} == {7}
