@@ -30,6 +30,9 @@ is the incremental replacement for that polling.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,3 +133,46 @@ def export_changes_envelope(
         .write.mode(mode).json(out_dir)
     return {"from_version": from_version, "to_version": to_version,
             "path": out_dir}
+
+
+# -------------------------------------------- incremental publishing
+
+_WINDOW_RE = re.compile(r"^window-(\d{8})-(\d{8})$")
+
+
+def last_published(out_dir: str) -> int:
+    """The highest source version a COMPLETE window under ``out_dir``
+    has exported; -1 before the first publish. A window directory
+    counts only once Spark's ``_SUCCESS`` marker exists — a crash
+    mid-write leaves no marker, so the next publish re-covers that
+    span. The directory listing IS the durable offset: no side file
+    to desync from the data."""
+    best = -1
+    if not os.path.isdir(out_dir):
+        return best
+    for fn in os.listdir(out_dir):
+        m = _WINDOW_RE.match(fn)
+        if m and os.path.exists(os.path.join(out_dir, fn, "_SUCCESS")):
+            best = max(best, int(m.group(2)))
+    return best
+
+
+def publish_envelope_window(source: LakeTable, out_dir: str) -> dict | None:
+    """Publish the next envelope window: versions
+    ``(last_published, current]`` into
+    ``out_dir/window-<from>-<to>/`` as JSON Lines. Returns None when
+    the table hasn't moved. Crash-safe without a transaction: the
+    ``_SUCCESS`` marker commits the window, an unmarked directory is
+    retried (overwritten) by the next call, and a retry after the
+    table advanced simply publishes a wider window covering the same
+    span — consumers dedupe on (source.version, key), which is exact.
+    Windows with only maintenance commits publish empty (the offset
+    still advances, so pollers don't re-diff them forever)."""
+    a = last_published(out_dir)
+    if a < 0:
+        a = 0  # v0 is the empty create snapshot — nothing before it
+    b = source.current_version()
+    if b <= a:
+        return None
+    path = os.path.join(out_dir, f"window-{a:08d}-{b:08d}")
+    return export_changes_envelope(source, path, a, b)

@@ -115,6 +115,8 @@ def run_stream(
     gc_orphans_older_than_s: float = 86400.0,
     views: list[LakeTable] | None = None,
     refresh_views_every: int | None = None,
+    envelope_dir: str | None = None,
+    publish_envelopes_every: int | None = None,
     fail_after_batches: int | None = None,
     audit=None,
 ):
@@ -163,6 +165,15 @@ def run_stream(
       cadence (``expire_keep`` snapshots >= versions between
       refreshes) — the feed fails fast on expired ranges rather than
       silently under-counting.
+    - ``envelope_dir`` (+ ``publish_envelopes_every=K``): every K
+      applied epochs, publish the feed window since the last publish
+      as Debezium-style JSON-Lines envelopes under
+      ``envelope_dir/window-<from>-<to>/`` (cdc/envelope.py) — the
+      ingest job doubles as the change-topic producer for downstream
+      non-lake consumers. The directory's ``_SUCCESS``-marked windows
+      ARE the durable offset, so a crash mid-publish is retried and a
+      resumed run continues from the last complete window. Runs
+      before snapshot expiry for the same reason view refreshes do.
 
     ``audit``: per-epoch write-audit-publish gate,
     ``audit(candidate_df, stats) -> bool``. Each epoch's merge is
@@ -255,6 +266,13 @@ def run_stream(
 
                 for v in views:
                     refresh_agg_view(table, v)
+            if envelope_dir and publish_envelopes_every and (
+                    applied["n"] % publish_envelopes_every == 0):
+                from clinical_trials_etl_spark.cdc.envelope import (
+                    publish_envelope_window,
+                )
+
+                publish_envelope_window(table, envelope_dir)
             if expire_every and applied["n"] % expire_every == 0:
                 table.expire_snapshots(keep_last=expire_keep)
             if gc_orphans_every and (

@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(--maintain) after expiry, delete crash-stranded "
                         "files no snapshot references and older than "
                         "this many seconds")
+    p.add_argument("--envelope-dir", default=None,
+                   help="(--stream) publish Debezium-style JSON-Lines "
+                        "change envelopes under this directory on the "
+                        "applied-epoch cadence (cdc/envelope.py)")
+    p.add_argument("--publish-envelopes-every", type=int, default=None,
+                   help="(--stream) publish an envelope window every N "
+                        "applied epochs (requires --envelope-dir)")
     p.add_argument("--key-bloom-bits", type=int, default=None,
                    help="record per-file key blooms of this many bits "
                         "in the manifest at every write (table-create "
@@ -170,6 +177,8 @@ def main(argv: list[str] | None = None) -> dict:
             compact_zorder_by=(args.compact_zorder_by.split(",")
                                if args.compact_zorder_by else None),
             compact_rows_per_file=args.compact_rows_per_file,
+            envelope_dir=args.envelope_dir,
+            publish_envelopes_every=args.publish_envelopes_every,
         )
         result = {
             "mode": "stream",

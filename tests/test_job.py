@@ -73,3 +73,21 @@ def test_job_maintain_out_of_band(spark, tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         main(["--table", str(tmp_path / "t")])
+
+
+def test_job_stream_publishes_envelopes(spark, tmp_path):
+    """--envelope-dir/--publish-envelopes-every: the spark-submit
+    streaming job produces the change topic alongside the table."""
+    from clinical_trials_etl_spark.cdc.envelope import last_published
+
+    log_dir = str(tmp_path / "log_env")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=3)
+    env = str(tmp_path / "envelopes")
+    res = main([
+        "--log-dir", log_dir, "--table", str(tmp_path / "t_env"),
+        "--checkpoint", str(tmp_path / "ckpt_env"), "--stream",
+        "--max-files-per-trigger", "1",
+        "--envelope-dir", env, "--publish-envelopes-every", "1",
+    ])
+    assert res["mode"] == "stream"
+    assert last_published(env) == res["version"]

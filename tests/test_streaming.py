@@ -404,3 +404,61 @@ def test_stream_audit_gate_quarantines_and_resumes(spark, log_dir, tmp_path):
                max_files_per_trigger=1)
     want = {(r["url"], r["text"]) for r in ctl.read().collect()}
     assert {(r["url"], r["text"]) for r in table.read().collect()} == want
+
+
+def test_stream_publishes_envelope_windows(spark, log_dir, tmp_path):
+    """The ingest stream doubles as a change-topic producer: every K
+    applied epochs a Debezium-envelope window lands under
+    envelope_dir, _SUCCESS-marked windows form a contiguous,
+    gap-free version chain (the durable offset), and a consumer
+    folding every envelope in commit order ends at the table's final
+    key set — across the log's mid-stream schema rename."""
+    import glob
+    import json as _json
+    import os
+    import re
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        last_published,
+        publish_envelope_window,
+    )
+
+    table = create_pages_table(spark, str(tmp_path / "tbl_env"), n_buckets=8)
+    env = str(tmp_path / "envelopes")
+    run_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt_env"),
+        max_files_per_trigger=1,
+        envelope_dir=env, publish_envelopes_every=2,
+    )
+    assert last_published(env) > 0, "the cadence never published"
+
+    # catch up any epochs past the last cadence boundary, then verify
+    # the poller is quiescent
+    publish_envelope_window(table, env)
+    assert last_published(env) == table.current_version()
+    assert publish_envelope_window(table, env) is None
+
+    # windows chain without gaps or overlaps from v0 to head
+    spans = sorted(
+        tuple(map(int, re.match(r"window-(\d+)-(\d+)", d).groups()))
+        for d in os.listdir(env))
+    assert spans[0][0] == 0
+    for (a, b), (c, _d) in zip(spans, spans[1:]):
+        assert b == c, f"offset gap/overlap: {spans}"
+    assert spans[-1][1] == table.current_version()
+
+    # Debezium consumer fold: every envelope, commit order, final
+    # key set equals the table's live keys
+    objs = []
+    for part in glob.glob(env + "/window-*/part-*"):
+        with open(part) as f:
+            objs += [_json.loads(line) for line in f if line.strip()]
+    state: set[str] = set()
+    for o in sorted(objs, key=lambda o: o["source"]["version"]):
+        url = (o.get("before") or o["after"])["url"]
+        if o["op"] == "d":
+            state.discard(url)
+        else:
+            state.add(url)
+    live = {r["url"] for r in table.read().select("url").collect()}
+    assert state == live
