@@ -85,13 +85,17 @@ def changes_envelope(
     )
 
     # commit wall-clock: bounded driver-side metadata (one snapshot
-    # JSON per commit in the window), folded in as a literal map
-    ts_pairs: list = []
-    for v in range(from_version + 1, to_version + 1):
-        ts_pairs.append(F.lit(v))
-        ts_pairs.append(
-            F.lit(int(source.snapshot(v)["committed_at"] * 1000)))
-    ts_ms = F.create_map(*ts_pairs)[F.col("_commit_version")]
+    # JSON per commit in the window), attached as a broadcast-joined
+    # two-column frame — NOT a literal map, whose expression tree
+    # would grow with the window (a bootstrap export over 10^5
+    # commits must not build a 10^5-entry plan node)
+    ts_rows = [
+        (v, int(source.snapshot(v)["committed_at"] * 1000))
+        for v in range(from_version + 1, to_version + 1)
+    ]
+    ts_df = source.spark.createDataFrame(
+        ts_rows, "_commit_version long, ts_ms long")
+    agg = agg.join(F.broadcast(ts_df), "_commit_version", "left")
 
     op = (
         F.when(F.col("_is_del"), F.lit("d"))
@@ -103,7 +107,7 @@ def changes_envelope(
         F.when(F.col("_is_del"), F.lit(None)).otherwise(F.col("_aft.p"))
         .alias("after"),
         op.alias("op"),
-        ts_ms.alias("ts_ms"),
+        F.col("ts_ms"),
         F.struct(
             F.lit(source.root).alias("table"),
             F.coalesce(F.col("_aft.lsn"), F.col("_bef.lsn")).alias("lsn"),
