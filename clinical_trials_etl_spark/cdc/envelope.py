@@ -35,8 +35,9 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from clinical_trials_etl_spark.lake.table import LakeTable
+from clinical_trials_etl_spark.lake.table import LakeTable, _spark_type
 
 _AFTER_TYPES = ("insert", "update_postimage")
 _BEFORE_TYPES = ("update_preimage", "delete")
@@ -180,3 +181,79 @@ def publish_envelope_window(source: LakeTable, out_dir: str) -> dict | None:
         return None
     path = os.path.join(out_dir, f"window-{a:08d}-{b:08d}")
     return export_changes_envelope(source, path, a, b)
+
+
+# ----------------------------------------------- consuming (inbound)
+
+
+def apply_envelopes(target: LakeTable, env_dir: str,
+                    mode: str = "cow") -> dict:
+    """Apply every complete, not-yet-applied envelope window under
+    ``env_dir`` to ``target``, in window order — the consumer half of
+    the publish protocol, replicating a table across sites through
+    nothing but the published directories (object storage instead of
+    a message broker).
+
+    Exactly-once without a side checkpoint: each window merges with
+    ``batch_id="env-<to_version>"``, so the applied offset is the
+    target's own per-prefix high-water mark, committed atomically
+    with the data (the cdc/mirror.py mechanism, pointed at files).
+    Re-running after success is a metadata no-op; a crash mid-window
+    re-merges that window idempotently.
+
+    Delete envelopes carry the pre-image LSN (the publish-side
+    convention); the replica's tombstone ties that LSN and wins the
+    tie by the shared (lsn, deleted) rule, so live-row state converges
+    to the source's even though replica tombstone LSNs are not
+    byte-identical to the source's. The payload must match the
+    target's current schema — when the source evolved mid-history,
+    evolve the target (cdc/registry ops) before applying the windows
+    that follow the change."""
+    fields = target.fields()
+    key = target.key_field()
+    payload_t = T.StructType(
+        [T.StructField(f["name"], _spark_type(f["type"])) for f in fields])
+    env_schema = T.StructType([
+        T.StructField("before", payload_t),
+        T.StructField("after", payload_t),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("source", T.StructType([
+            T.StructField("table", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("version", T.LongType()),
+        ])),
+    ])
+
+    applied_hwm = int(target.snapshot()["batch_hwm"].get("env-", -1))
+    windows = []
+    if os.path.isdir(env_dir):
+        for fn in sorted(os.listdir(env_dir)):
+            m = _WINDOW_RE.match(fn)
+            if m and os.path.exists(os.path.join(env_dir, fn, "_SUCCESS")):
+                windows.append((int(m.group(1)), int(m.group(2)), fn))
+    windows.sort()
+
+    applied = 0
+    for a, b, fn in windows:
+        if b <= applied_hwm:
+            continue
+        df = target.spark.read.schema(env_schema).json(
+            os.path.join(env_dir, fn))
+        img = F.coalesce(F.col("after"), F.col("before")).alias("_img")
+        batch = df.select(
+            img,
+            F.col("source.lsn").alias("lsn"),
+            F.when(F.col("op") == "d", F.lit("D"))
+            .when(F.col("op") == "c", F.lit("I"))
+            .otherwise(F.lit("U")).alias("op"),
+        ).select("_img.*", "lsn", "op")
+        res = target.merge(batch, batch_id=f"env-{b}", mode=mode,
+                           lineage={"type_detail": "apply_envelopes",
+                                    "window": fn})
+        if not res.get("skipped"):
+            applied += 1
+    return {"windows_applied": applied,
+            "replica_version": target.current_version(),
+            "applied_through": max(
+                [b for _a, b, _f in windows] + [applied_hwm])}

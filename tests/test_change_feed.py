@@ -597,3 +597,58 @@ def test_envelope_jsonl_export_round_trip(table, tmp_path):
         with open(part) as f:
             objs2 += [_json.loads(line) for line in f if line.strip()]
     assert {o["source"]["version"] for o in objs2} == {7}
+
+
+def test_apply_envelopes_replicates_across_sites(spark, tmp_path):
+    """The consumer half of the publish protocol: a replica built from
+    NOTHING but the published window directories converges to the
+    source's live-row state, window by window, with the applied
+    offset carried as the replica's own batch ledger (re-applying is
+    a metadata no-op)."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        publish_envelope_window,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+
+    def live(t):
+        return {(r["url"], r["val"]) for r in t.read().collect()}
+
+    src.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I"),
+                             ("u3", "c", 3, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u1", "a2", 10, "U"), ("u2", None, 11, "D")]),
+              batch_id="e-2")
+    src.merge(_batch(spark, [("u4", "d", 20, "I")]),
+              batch_id="e-3", mode="delta")
+    publish_envelope_window(src, env)
+    src.compact()
+    src.merge(_batch(spark, [("u2", "b2", 30, "I"), ("u4", "d2", 31, "U")]),
+              batch_id="e-4")
+    publish_envelope_window(src, env)
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    res = apply_envelopes(rep, env)
+    assert res["windows_applied"] == 3
+    assert live(rep) == live(src)
+
+    # re-apply: pure metadata no-op (ledger-skipped), nothing moves
+    v = rep.current_version()
+    res2 = apply_envelopes(rep, env)
+    assert res2["windows_applied"] == 0
+    assert rep.current_version() == v
+
+    # the feed keeps flowing: another source commit, another window,
+    # the replica catches up incrementally (including a delete whose
+    # envelope carries the pre-image LSN — tombstone wins its tie)
+    src.merge(_batch(spark, [("u3", None, 40, "D")]),
+              batch_id="e-5", mode="delta")
+    publish_envelope_window(src, env)
+    res3 = apply_envelopes(rep, env)
+    assert res3["windows_applied"] == 1
+    assert live(rep) == live(src)
+    assert ("u3", "c") not in live(rep)
