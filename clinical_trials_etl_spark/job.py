@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--publish-envelopes-every", type=int, default=None,
                    help="(--stream) publish an envelope window every N "
                         "applied epochs (requires --envelope-dir)")
+    p.add_argument("--avro-registry", default=None,
+                   help="path to an Avro schema-registry dump (plain "
+                        "{version: schema} map or a Confluent subject "
+                        "dump); versions are resolved into the engine's "
+                        "field-id registry at startup and drive "
+                        "add/rename/widen evolution during ingest "
+                        "(cdc/avro_registry.py) — incompatible dumps "
+                        "fail here, before any stream starts")
     p.add_argument("--key-bloom-bits", type=int, default=None,
                    help="record per-file key blooms of this many bits "
                         "in the manifest at every write (table-create "
@@ -155,6 +163,12 @@ def main(argv: list[str] | None = None) -> dict:
 
     if not args.log_dir:
         raise SystemExit("--log-dir is required unless --maintain")
+    registry = None
+    if args.avro_registry:
+        from clinical_trials_etl_spark.cdc.avro_registry import \
+            load_avro_registry
+
+        registry = load_avro_registry(args.avro_registry)
     if args.stream:
         if not args.checkpoint:
             raise SystemExit("--stream requires --checkpoint")
@@ -179,6 +193,7 @@ def main(argv: list[str] | None = None) -> dict:
             compact_rows_per_file=args.compact_rows_per_file,
             envelope_dir=args.envelope_dir,
             publish_envelopes_every=args.publish_envelopes_every,
+            registry=registry,
         )
         result = {
             "mode": "stream",
@@ -192,7 +207,8 @@ def main(argv: list[str] | None = None) -> dict:
                        n_buckets=args.n_buckets, n_salt=args.n_salt,
                        merge_mode=args.merge_mode,
                        compact_every=args.compact_every,
-                       key_bloom_bits=args.key_bloom_bits)
+                       key_bloom_bits=args.key_bloom_bits,
+                       registry=registry)
         result = {
             "mode": "replay",
             "version": table.current_version(),
