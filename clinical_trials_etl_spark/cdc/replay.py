@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from clinical_trials_etl_spark.cdc.apply import apply_batch
 from clinical_trials_etl_spark.cdc.registry import PAGES_REGISTRY
@@ -56,6 +56,7 @@ def replay(
     merge_mode: str | None = None,
     compact_every: int | None = None,
     key_bloom_bits: int | None = None,
+    min_lsn: int | None = None,
 ) -> LakeTable:
     """Replay the log into a fresh (or existing, when resuming) table;
     one micro-batch per ``segments_per_batch`` segments.
@@ -72,7 +73,13 @@ def replay(
     ``merge_mode="delta"`` + ``compact_every=K``: merge-on-read batch
     replay — the same O(batch)-per-commit regime run_stream offers,
     for batch backfills (each epoch appends delta layers; every K
-    applied epochs the table folds them back into base files)."""
+    applied epochs the table folds them back into base files).
+
+    ``min_lsn``: skip events at or below this log position — the
+    snapshot-bootstrap handoff (``cdc/bootstrap.py``: the snapshot
+    already reflects them). A plain scan-level filter pushed down to
+    the WAL parquet read; with max-LSN merge semantics it is an
+    optimization, not a correctness requirement."""
     if os.path.exists(os.path.join(table_root, "_meta", "_current")):
         table = LakeTable(spark, table_root)
     else:
@@ -85,6 +92,8 @@ def replay(
         batch = spark.read.schema(TRANSPORT_SCHEMA).option(
             "basePath", log_dir
         ).parquet(*chunk)
+        if min_lsn is not None:
+            batch = batch.filter(F.col("lsn") > min_lsn)
         kwargs = {} if n_salt is None else {"n_salt": n_salt}
         stats = apply_batch(
             table,

@@ -119,6 +119,7 @@ def run_stream(
     publish_envelopes_every: int | None = None,
     fail_after_batches: int | None = None,
     audit=None,
+    min_lsn: int | None = None,
 ):
     """Process everything currently in ``log_dir`` through streaming
     micro-batches and stop (processAllAvailable). Safe to call again
@@ -189,6 +190,12 @@ def run_stream(
     crash between publish and checkpoint is the normal idempotent
     no-op redelivery.
 
+    ``min_lsn``: skip events at or below this log position — the
+    snapshot-bootstrap handoff (cdc/bootstrap.py; the bootstrap commit
+    already reflects them). Scan-level pushed-down filter; under
+    max-LSN merge semantics it is an optimization, not a correctness
+    requirement.
+
     ``fail_after_batches=N`` is fault injection for tests: raise AFTER
     the N-th applied epoch's lake commit (and its maintenance) but
     BEFORE Structured Streaming checkpoints that epoch's offsets — the
@@ -203,6 +210,13 @@ def run_stream(
         .option("basePath", log_dir)
         .parquet(log_dir)
     )
+    if min_lsn is not None:
+        # snapshot-bootstrap handoff (cdc/bootstrap.py): the snapshot
+        # already reflects lsn <= min_lsn; a scan-level filter, pushed
+        # down to the WAL parquet read, skips the prefix entirely
+        from pyspark.sql import functions as F
+
+        source = source.filter(F.col("lsn") > min_lsn)
 
     applied = {"n": 0}
     rejected: dict[str, object] = {}

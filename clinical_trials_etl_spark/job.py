@@ -95,6 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--publish-envelopes-every", type=int, default=None,
                    help="(--stream) publish an envelope window every N "
                         "applied epochs (requires --envelope-dir)")
+    p.add_argument("--bootstrap-snapshot", default=None,
+                   help="parquet path of a consistent source snapshot: "
+                        "seed a fresh table from it (one idempotent "
+                        "bulk merge) before tailing the log — the "
+                        "Debezium initial-snapshot phase (requires "
+                        "--snapshot-lsn; cdc/bootstrap.py)")
+    p.add_argument("--snapshot-lsn", type=int, default=None,
+                   help="log position the bootstrap snapshot is "
+                        "consistent at; ingest then skips events at or "
+                        "below it (overridable with --from-lsn)")
+    p.add_argument("--from-lsn", type=int, default=None,
+                   help="skip WAL events at or below this log position "
+                        "(default: the table's recorded bootstrap LSN, "
+                        "if any)")
     p.add_argument("--avro-registry", default=None,
                    help="path to an Avro schema-registry dump (plain "
                         "{version: schema} map or a Confluent subject "
@@ -169,6 +183,28 @@ def main(argv: list[str] | None = None) -> dict:
             load_avro_registry
 
         registry = load_avro_registry(args.avro_registry)
+
+    from clinical_trials_etl_spark.cdc.bootstrap import (
+        bootstrap_from_snapshot,
+        bootstrap_lsn,
+    )
+
+    min_lsn = args.from_lsn
+    if args.bootstrap_snapshot:
+        if args.snapshot_lsn is None:
+            raise SystemExit("--bootstrap-snapshot requires --snapshot-lsn")
+        bootstrap_from_snapshot(
+            spark, spark.read.parquet(args.bootstrap_snapshot),
+            args.table, args.snapshot_lsn,
+            n_buckets=args.n_buckets, registry=registry,
+            n_salt=args.n_salt, merge_mode=args.merge_mode,
+            key_bloom_bits=args.key_bloom_bits,
+        )
+        if min_lsn is None:
+            min_lsn = args.snapshot_lsn
+    elif min_lsn is None and os.path.exists(
+            os.path.join(args.table, "_meta", "_current")):
+        min_lsn = bootstrap_lsn(LakeTable(spark, args.table))
     if args.stream:
         if not args.checkpoint:
             raise SystemExit("--stream requires --checkpoint")
@@ -194,6 +230,7 @@ def main(argv: list[str] | None = None) -> dict:
             envelope_dir=args.envelope_dir,
             publish_envelopes_every=args.publish_envelopes_every,
             registry=registry,
+            min_lsn=min_lsn,
         )
         result = {
             "mode": "stream",
@@ -208,7 +245,7 @@ def main(argv: list[str] | None = None) -> dict:
                        merge_mode=args.merge_mode,
                        compact_every=args.compact_every,
                        key_bloom_bits=args.key_bloom_bits,
-                       registry=registry)
+                       registry=registry, min_lsn=min_lsn)
         result = {
             "mode": "replay",
             "version": table.current_version(),
