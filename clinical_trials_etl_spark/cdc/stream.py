@@ -117,6 +117,8 @@ def run_stream(
     refresh_views_every: int | None = None,
     envelope_dir: str | None = None,
     publish_envelopes_every: int | None = None,
+    meta_views_name: str | None = None,
+    refresh_meta_views_every: int | None = None,
     fail_after_batches: int | None = None,
     audit=None,
     min_lsn: int | None = None,
@@ -175,6 +177,14 @@ def run_stream(
       ARE the durable offset, so a crash mid-publish is retried and a
       resumed run continues from the last complete window. Runs
       before snapshot expiry for the same reason view refreshes do.
+    - ``meta_views_name`` (+ ``refresh_meta_views_every=K``): every K
+      applied epochs, (re-)register the table's metadata tables as
+      ``<name>_snapshots / _files / _partitions / ...`` temp views
+      (lake/metadata.py) — a monitoring query in the same session
+      (``SELECT bucket, delta_files FROM <name>_partitions``) sees the
+      lake's live bookkeeping without touching the data. Runs AFTER
+      compaction/expiry in the same epoch so the views reflect that
+      epoch's maintenance; driver-side metadata reads only.
 
     ``audit``: per-epoch write-audit-publish gate,
     ``audit(candidate_df, stats) -> bool``. Each epoch's merge is
@@ -295,6 +305,17 @@ def run_stream(
                 # the age gate keeps this run's in-flight files safe
                 table.remove_orphans(
                     older_than_s=gc_orphans_older_than_s)
+            if meta_views_name and refresh_meta_views_every and (
+                    applied["n"] % refresh_meta_views_every == 0):
+                # last in the epoch so the views see this epoch's
+                # maintenance commits too; driver-side metadata only —
+                # I/O enrichment is skipped on the hot path
+                from clinical_trials_etl_spark.lake.metadata import (
+                    register_metadata_views,
+                )
+
+                register_metadata_views(table, meta_views_name,
+                                        with_io_stats=False)
             if fail_after_batches and applied["n"] >= fail_after_batches:
                 raise RuntimeError(
                     f"injected crash after applied epoch {epoch_id} "

@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "add/rename/widen evolution during ingest "
                         "(cdc/avro_registry.py) — incompatible dumps "
                         "fail here, before any stream starts")
+    p.add_argument("--describe", action="store_true",
+                   help="print a JSON ops report of the table's "
+                        "bookkeeping (current version, refs, commit "
+                        "summary, per-bucket file/delta-layer/bytes "
+                        "rollup with backlog and skew signals) built "
+                        "from the queryable metadata tables "
+                        "(lake/metadata.py) and exit")
     p.add_argument("--key-bloom-bits", type=int, default=None,
                    help="record per-file key blooms of this many bits "
                         "in the manifest at every write (table-create "
@@ -153,6 +160,43 @@ def main(argv: list[str] | None = None) -> dict:
     from clinical_trials_etl_spark.cdc.stream import lineage_report, run_stream
     from clinical_trials_etl_spark.lake.table import LakeTable
 
+    if args.describe:
+        if args.stream or args.maintain:
+            raise SystemExit("--describe is exclusive with "
+                             "--stream/--maintain")
+        from pyspark.sql import functions as F
+
+        from clinical_trials_etl_spark.lake import metadata as md
+
+        table = LakeTable(spark, args.table)
+        parts = md.partitions_df(table).collect()
+        ops = {
+            r["operation"]: r["n"]
+            for r in md.snapshots_df(table)
+            .groupBy("operation").agg(F.count("*").alias("n")).collect()
+        }
+        total_bytes = sum(r["total_bytes"] or 0 for r in parts)
+        result = {
+            "mode": "describe",
+            "version": table.current_version(),
+            "n_buckets": table.snapshot()["n_buckets"],
+            "operations": ops,
+            "refs": [r.asDict() for r in md.refs_df(table).collect()],
+            "files": sum(r["file_count"] for r in parts),
+            "delta_files": sum(r["delta_files"] for r in parts),
+            "total_bytes": total_bytes,
+            "total_records": sum(r["total_records"] or 0 for r in parts),
+            # ops signals: compaction backlog = deepest delta stack;
+            # skew = hottest bucket's share of bytes vs a uniform share
+            "max_layers": max((r["layers"] for r in parts), default=0),
+            "max_bucket_bytes_ratio": (
+                round(max(r["total_bytes"] or 0 for r in parts)
+                      * len(parts) / total_bytes, 2)
+                if total_bytes else None),
+        }
+        print(json.dumps(result))
+        return result
+
     if args.maintain:
         if args.stream:
             raise SystemExit("--maintain is exclusive with --stream")
@@ -176,7 +220,8 @@ def main(argv: list[str] | None = None) -> dict:
         return result
 
     if not args.log_dir:
-        raise SystemExit("--log-dir is required unless --maintain")
+        raise SystemExit("--log-dir is required unless "
+                         "--maintain/--describe")
     registry = None
     if args.avro_registry:
         from clinical_trials_etl_spark.cdc.avro_registry import \

@@ -242,16 +242,19 @@ def files_df(
 
 
 def partitions_df(
-    table: LakeTable, version: int | str | None = None
+    table: LakeTable,
+    version: int | str | None = None,
+    with_io_stats: bool = True,
 ) -> DataFrame:
     """Per-bucket rollup (Iceberg ``tbl.partitions`` analog): file and
     delta-layer counts, total bytes/records. A bucket whose
     ``delta_layers`` keeps growing is the compaction backlog signal;
     a bucket whose ``total_bytes`` dwarfs the median is the skew
     signal. One Spark aggregation over ``files_df`` — no extra
-    metadata pass."""
+    metadata pass. ``with_io_stats=False`` keeps the count/layer
+    signals and leaves the byte/record sums null (manifest-only)."""
     return (
-        files_df(table, version)
+        files_df(table, version, with_io_stats=with_io_stats)
         .groupBy("bucket")
         .agg(
             F.count("*").alias("file_count"),
@@ -326,17 +329,25 @@ def meta_df(table: LakeTable, kind: str, **kwargs) -> DataFrame:
     return fn(table, **kwargs)
 
 
-def register_metadata_views(table: LakeTable, name: str) -> list[str]:
+def register_metadata_views(
+    table: LakeTable, name: str, with_io_stats: bool = True
+) -> list[str]:
     """Register every metadata table as ``<name>_<kind>`` temp views so
     the whole surface is reachable from ``spark.sql`` (the engine's
     raw-SQL passthrough): ``SELECT * FROM pages_partitions ORDER BY
     delta_files DESC``. The views capture the metadata AS OF
     registration (the rows were read driver-side when the DataFrame
     was built) — call this again after commits to refresh, e.g. on
-    the streaming maintenance cadence."""
+    the streaming maintenance cadence (``run_stream(meta_views_name=,
+    refresh_meta_views_every=)``), which passes
+    ``with_io_stats=False`` so the per-epoch refresh never pays file
+    I/O: manifest facts, counts, and layer signals stay live; byte/
+    record sums are null until a full registration."""
     out = []
     for kind, fn in _KINDS.items():
         view = f"{name}_{kind}"
-        fn(table).createOrReplaceTempView(view)
+        df = (fn(table, with_io_stats=with_io_stats)
+              if kind in ("files", "partitions") else fn(table))
+        df.createOrReplaceTempView(view)
         out.append(view)
     return out

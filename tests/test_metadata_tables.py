@@ -161,3 +161,50 @@ def test_meta_df_dispatch_and_views(spark, table):
         "SELECT bucket FROM pages_partitions ORDER BY delta_files DESC"
     ).collect()
     assert len(hot) == md.partitions_df(table).count()
+
+
+def test_meta_views_refresh_on_stream_cadence(spark, tmp_path):
+    """run_stream(meta_views_name=..., refresh_meta_views_every=1):
+    after the stream drains, the session's temp views reflect the
+    FINAL table state (every applied epoch re-registered them), with
+    the manifest-only I/O columns null — the hot path never pays
+    footer reads."""
+    from clinical_trials_etl_spark.cdc.stream import run_stream
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+
+    log = str(tmp_path / "wal")
+    write_changelog_segments(
+        spark, LogSpec(n_events=400, n_hosts=6, seed=11), log,
+        n_segments=3)
+    t = create_pages_table(spark, str(tmp_path / "t"), n_buckets=4)
+    run_stream(spark, log, t, str(tmp_path / "ckpt"),
+               max_files_per_trigger=1, merge_mode="delta",
+               meta_views_name="live", refresh_meta_views_every=1)
+    snaps = spark.sql(
+        "SELECT MAX(version) AS v FROM live_snapshots").collect()[0]
+    assert snaps["v"] == t.current_version()
+    parts = spark.sql(
+        "SELECT SUM(file_count) AS f, SUM(total_bytes) AS b "
+        "FROM live_partitions").collect()[0]
+    assert parts["f"] == len(t.files(t.snapshot()))
+    assert parts["b"] is None  # with_io_stats=False on the cadence
+
+
+def test_job_describe_mode(spark, table, tmp_path):
+    from clinical_trials_etl_spark.job import main
+
+    out = main(["--describe", "--table", table.root])
+    assert out["mode"] == "describe"
+    assert out["version"] == table.current_version()
+    files = md.files_df(table).toPandas()
+    assert out["files"] == len(files)
+    assert out["delta_files"] == int(files["is_delta"].sum())
+    assert out["total_records"] == int(files["record_count"].sum())
+    assert out["max_layers"] >= 2  # the fixture stacked a delta layer
+    assert out["operations"]["merge"] >= 3
+    assert {r["name"] for r in out["refs"]} >= {"current"}
+    # the skew signal is a ratio >= 1 whenever any bytes exist
+    assert out["max_bucket_bytes_ratio"] >= 1.0
