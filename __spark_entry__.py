@@ -91,10 +91,12 @@ _RECERT_FRONT = [
     "mm_resize",
     "mm_frame_sample",
     "sim_bruteforce_topk",
-    # code changed in round 5 (broadcast gating / harness ordering)
+    # code changed/added in round 5 (broadcast gating / harness
+    # ordering / new connected-components clustering)
     "j4_revenue_by_nation",
     "j4b_parttype_revenue",
     "p11_multi_col_search",
+    "dedup_cluster_cc",
     # rows-only family: keep the independent driver signal fresh
     "dedup_minhash_lsh",
     "dedup_simhash",

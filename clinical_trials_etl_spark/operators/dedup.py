@@ -127,6 +127,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_cluster_cc(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (q_dedup_ngram_jaccard), labelling every clustered doc
+    with the minimum doc_id of its component — the canonical "keep one
+    per duplicate cluster" step a pair list alone cannot provide
+    (A~B~C chains where A!~C must still collapse to one keeper).
+    Components run the O(log^2 n) large-star/small-star alternation
+    (operators/graph.py), diameter-independent; the DuckDB oracle is
+    the same closure via WITH RECURSIVE."""
+    from clinical_trials_etl_spark.operators.graph import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("cluster_id", "doc_id")
+
+
+SQL_DEDUP_CLUSTER_CC = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 300)
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.2
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+FROM reach GROUP BY node
+ORDER BY cluster_id, doc_id
+"""
+
+
 LONG_MAX = (1 << 63) - 1
 
 
@@ -393,6 +448,7 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_cluster_cc": (q_dedup_cluster_cc, SQL_DEDUP_CLUSTER_CC),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
