@@ -17,6 +17,18 @@ regardless of base-table size — at design scale, maintaining per-host
 page counts over a 10^11-row page table costs each poll only the rows
 that changed, never a table scan.
 
+COUNT DISTINCT comes in both textbook forms: EXACT via
+``create_distinct_view`` — a counting-maintained (group, value)
+multiset whose read is a rollup over live value rows (Gupta/Mumick's
+aggregate-over-auxiliary-view construction; exact under any delete
+history, state O(distinct pairs)) — and APPROX via the
+``approx_distinct`` aggregate kind, which stores one mergeable
+Datasketches HLL sketch per group: insert windows UNION the window
+sketch in O(changes) (the append-heavy web-ingest common case), and
+windows containing a retraction recompute just the flagged groups
+(HLL is not subtractable), sharing the MIN/MAX hybrid's pruned
+semi-joined source read.
+
 MIN/MAX use the standard hybrid (they are not self-maintainable under
 deletion by pure counting — a deleted row that held the extreme can
 force a rescan of its group): maintain incrementally on the insert
@@ -60,12 +72,16 @@ _GK = "_gk"
 _SPEC_FILE = "_ivm_spec.json"
 
 # aggregate kinds and the state columns each maintains
-_KINDS = ("count", "count_col", "sum", "avg", "min", "max")
+_KINDS = ("count", "count_col", "sum", "avg", "min", "max",
+          "approx_distinct")
 
 _INT_TYPES = {"int", "integer", "long", "bigint", "short", "smallint"}
 _NUMERIC_TYPES = _INT_TYPES | {"float", "double", "real"}
 # MIN/MAX need an ordered domain the state column can store
 _ORDERABLE_TYPES = _NUMERIC_TYPES | {"string", "timestamp"}
+# hll_sketch_agg's supported input types (Datasketches HLL)
+_SKETCHABLE_TYPES = {"int", "integer", "long", "bigint", "string",
+                     "binary"}
 
 
 def _group_key(group_cols: list[str]) -> F.Column:
@@ -111,6 +127,14 @@ def _state_fields(spec: dict, source_fields: list[dict]) -> list[dict]:
                  else src_type[col])
             fields.append({"name": f"__ext_{alias}", "type": t})
             fields.append({"name": f"__n_{alias}", "type": "long"})
+        elif kind == "approx_distinct":
+            if src_type[col] not in _SKETCHABLE_TYPES:
+                raise ValueError(
+                    f"approx_distinct({col!r}) needs an int/long/string/"
+                    f"binary column, got {src_type[col]!r} (exact "
+                    "distinct over any type: create_distinct_view)")
+            fields.append({"name": f"__hll_{alias}", "type": "binary"})
+            fields.append({"name": f"__n_{alias}", "type": "long"})
         else:
             raise ValueError(f"unsupported aggregate kind {kind!r} "
                              f"(supported: {_KINDS})")
@@ -141,9 +165,9 @@ def _contribs(spec: dict, w: F.Column,
             out.append(
                 F.when(c.isNotNull(), w).otherwise(F.lit(0))
                 .alias(f"__n_{alias}"))
-        elif kind in ("min", "max"):
+        elif kind in ("min", "max", "approx_distinct"):
             # only the non-null COUNT is counting-maintained; the
-            # extreme itself goes through the hybrid path (_mm_aggs)
+            # extreme / sketch itself rides the hybrid path
             out.append(
                 F.when(c.isNotNull(), w).otherwise(F.lit(0))
                 .alias(f"__n_{alias}"))
@@ -158,7 +182,7 @@ def _state_cols(spec: dict) -> list[str]:
     for kind, _col, alias in spec["aggs"]:
         if kind in ("sum", "avg"):
             cols += [f"__sum_{alias}", f"__n_{alias}"]
-        elif kind in ("min", "max"):
+        elif kind in ("min", "max", "approx_distinct"):
             cols.append(f"__n_{alias}")
         else:
             cols.append(alias)
@@ -168,6 +192,12 @@ def _state_cols(spec: dict) -> list[str]:
 def _mm_aggs(spec: dict) -> list[tuple[str, str, str]]:
     """The (kind, column, alias) triples of the MIN/MAX aggregates."""
     return [(k, c, a) for k, c, a in spec["aggs"] if k in ("min", "max")]
+
+
+def _hll_aggs(spec: dict) -> list[tuple[str, str, str]]:
+    """The (kind, column, alias) triples of approx_distinct aggregates."""
+    return [(k, c, a) for k, c, a in spec["aggs"]
+            if k == "approx_distinct"]
 
 
 def _value_cols(spec: dict) -> list[str]:
@@ -292,6 +322,7 @@ def refresh_agg_view(
     state_cols = _state_cols(spec)
     state_types = _types(spec, view)
     mm = _mm_aggs(spec)
+    hll = _hll_aggs(spec)
     view_types = {f["name"]: f["type"] for f in view.fields()}
 
     mm_sel: list[F.Column] = []
@@ -303,13 +334,29 @@ def refresh_agg_view(
         mm_sel.append(F.when(~is_post, c).alias(f"__retv_{alias}"))
         mm_agg.append(f(F.col(f"__insv_{alias}")).alias(f"__ins_{alias}"))
         mm_agg.append(f(F.col(f"__retv_{alias}")).alias(f"__ret_{alias}"))
+    for _kind, col, alias in hll:
+        c = F.col(cur_of.get(col, col))
+        # window insert-side sketch (hll_sketch_agg skips nulls, so a
+        # retraction-only group yields an EMPTY sketch, union-neutral)
+        # + a did-anything-retract flag: HLL is not subtractable, so
+        # any non-null retraction sends the group to the recompute path
+        mm_sel.append(F.when(is_post, c).alias(f"__insv_{alias}"))
+        mm_sel.append(
+            F.when(~is_post & c.isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)).alias(f"__retv_{alias}"))
+        mm_agg.append(
+            F.hll_sketch_agg(f"__insv_{alias}").alias(f"__inssk_{alias}"))
+        mm_agg.append(F.max(f"__retv_{alias}").alias(f"__retn_{alias}"))
     # an update whose images cancel on every maintained column (e.g. a
     # value column outside the spec changed) is a no-op; with MIN/MAX,
     # any non-null insert/retract value also keeps the group (it can
-    # move the extreme even when the counting deltas cancel)
+    # move the extreme even when the counting deltas cancel); with
+    # approx_distinct, any retraction keeps the group (inserts always
+    # show in the counting column already)
     noop = [f"`{c}` != 0" for c in state_cols]
     noop += [f"`__{side}_{a}` IS NOT NULL"
              for _k, _c, a in mm for side in ("ins", "ret")]
+    noop += [f"`__retn_{a}` > 0" for _k, _c, a in hll]
     delta = (
         feed.select(
             _group_key(cur_groups).alias(_GK),
@@ -345,7 +392,7 @@ def refresh_agg_view(
                 source_unique=True)
             return {"skipped": False, "from": start, "to": to_version,
                     "groups": 0}
-        if mm:
+        if mm or hll:
             merged = _merge_state_hybrid(
                 source, view, spec, delta, touched, to_version,
                 cur_groups, cur_of, state_cols, state_types,
@@ -374,6 +421,7 @@ def refresh_agg_view(
             *[F.col(c) for c in spec["group_cols"]],
             *[F.col(c) for c in state_cols],
             *[F.col(f"__ext_{a}") for _k, _c, a in mm],
+            *[F.col(f"__hll_{a}") for _k, _c, a in hll],
             F.lit(to_version).cast("long").alias("lsn"),
             F.when(F.col(count_alias) <= 0, F.lit("D"))
             .otherwise(F.lit("U")).alias("op"),
@@ -422,10 +470,21 @@ def _merge_state_hybrid(
 
     The retraction values the feed shows are from-state images — the
     exact values the stored extremes were computed over (the view is
-    synced to the window start), so the tie-or-beat test is sound."""
+    synced to the window start), so the tie-or-beat test is sound.
+
+    approx_distinct state (a Datasketches HLL sketch) rides the same
+    two paths: inserts UNION the window's insert-side sketch into the
+    stored one (sketches are mergeable — the insert-only case, the
+    common one for append-heavy web ingest, is pure O(changes)); any
+    non-null retraction flags the group for recompute, because HLL is
+    not subtractable — no tie test can save it. The recompute shares
+    the same (group, value)-pruned, semi-joined source read as the
+    MIN/MAX extremes."""
     mm = _mm_aggs(spec)
+    hll = _hll_aggs(spec)
     prev_cols = ([*spec["group_cols"], *state_cols]
-                 + [f"__ext_{a}" for _k, _c, a in mm])
+                 + [f"__ext_{a}" for _k, _c, a in mm]
+                 + [f"__hll_{a}" for _k, _c, a in hll])
     prev = (
         view.read_raw(touched)
         .where(~F.col("_deleted"))
@@ -457,6 +516,22 @@ def _merge_state_hybrid(
         out_cols.append(fast.alias(f"__fast_{alias}"))
         out_cols.append(need.alias(f"__need_{alias}"))
         flag_cols.append(f"__need_{alias}")
+    for _kind, col, alias in hll:
+        pe = F.col(f"_p___hll_{alias}")
+        ins = F.col(f"__inssk_{alias}")
+        # hll_union(x, NULL) is NULL — coalesce sides explicitly; the
+        # window's insert sketch is an EMPTY (non-null) sketch when the
+        # group saw only retractions, which unions as a no-op
+        fast = (F.when(pe.isNull(), ins)
+                .when(ins.isNull(), pe)
+                .otherwise(F.hll_union(pe, ins)))
+        new_n = (F.coalesce(F.col(f"__n_{alias}"), F.lit(0))
+                 + F.coalesce(F.col(f"_p___n_{alias}"), F.lit(0)))
+        need = ((F.coalesce(F.col(f"__retn_{alias}"), F.lit(0)) > 0)
+                & (new_n > 0))
+        out_cols.append(fast.alias(f"__fast_{alias}"))
+        out_cols.append(need.alias(f"__need_{alias}"))
+        flag_cols.append(f"__need_{alias}")
     j2 = j.select(F.col(_GK), *out_cols).persist()
     cleanup.append(j2)
     flag = F.lit(False)
@@ -470,7 +545,12 @@ def _merge_state_hybrid(
         rec_agg.append(
             f(F.col(cur_of.get(col, col))).cast(ext_t)
             .alias(f"__rec_{alias}"))
-    val_cols = sorted({cur_of.get(c, c) for _k, c, _a in mm})
+    for _kind, col, alias in hll:
+        rec_agg.append(
+            F.hll_sketch_agg(F.col(cur_of.get(col, col)))
+            .alias(f"__rec_{alias}"))
+    val_cols = sorted({cur_of.get(c, c)
+                       for _k, c, _a in (*mm, *hll)})
     rec = (
         source.read(
             version=to_version,
@@ -488,6 +568,11 @@ def _merge_state_hybrid(
             F.when(F.col(f"__need_{alias}"), F.col(f"__rec_{alias}"))
             .otherwise(F.col(f"__fast_{alias}"))
             .alias(f"__ext_{alias}"))
+    for _kind, _col, alias in hll:
+        final_cols.append(
+            F.when(F.col(f"__need_{alias}"), F.col(f"__rec_{alias}"))
+            .otherwise(F.col(f"__fast_{alias}"))
+            .alias(f"__hll_{alias}"))
     # j2 stays persisted through the caller's merge action (it feeds
     # both the semi-join build and the final rows); the caller
     # unpersists it via the cleanup list after the merge commits
@@ -515,7 +600,8 @@ def _merge_schema(spec: dict, view: LakeTable):
     import pyspark.sql.types as T
     m = {"string": T.StringType(), "long": T.LongType(),
          "double": T.DoubleType(), "int": T.IntegerType(),
-         "boolean": T.BooleanType(), "timestamp": T.TimestampType()}
+         "boolean": T.BooleanType(), "timestamp": T.TimestampType(),
+         "binary": T.BinaryType()}
     fields = [T.StructField(f["name"], m.get(f["type"], T.StringType()))
               for f in view.fields()]
     fields += [T.StructField("lsn", T.LongType()),
@@ -549,6 +635,75 @@ def read_agg_view(view: LakeTable) -> DataFrame:
             cols.append(
                 F.when(F.col(f"__n_{alias}") > 0,
                        F.col(f"__ext_{alias}")).alias(alias))
+        elif kind == "approx_distinct":
+            # COUNT(DISTINCT) of an all-null group is 0, not NULL
+            cols.append(
+                F.when(F.col(f"__n_{alias}") > 0,
+                       F.hll_sketch_estimate(F.col(f"__hll_{alias}")))
+                .otherwise(F.lit(0)).cast("long").alias(alias))
         else:
             cols.append(F.col(alias))
     return df.select(*cols)
+
+
+def create_distinct_view(
+    spark: SparkSession,
+    source: LakeTable,
+    root: str,
+    group_cols: list[str],
+    col: str,
+    alias: str,
+    n_buckets: int = 4,
+) -> LakeTable:
+    """EXACT COUNT(DISTINCT col) per group, maintainable under deletes.
+
+    COUNT DISTINCT is not self-maintainable from signed deltas alone: a
+    delete of value v only lowers the count if it removed v's LAST
+    occurrence, which the delta cannot tell. The standard exact
+    construction (Gupta/Mumick '93 — aggregate over an auxiliary view)
+    stores the VALUE MULTISET instead: a counting-maintained view
+    grouped by (group_cols + [col]) whose single count is the
+    multiplicity of each (group, value) pair. Multiplicities ARE
+    self-maintainable (pure signed sums — refresh_agg_view unchanged),
+    and the machinery's own liveness tombstoning retires a value row
+    exactly when its multiplicity hits zero, so the distinct count is a
+    read-time rollup over live value rows. Exact under any
+    insert/update/delete history — no recompute path exists to take.
+
+    Cost shape: refresh = O(changes) + touched multiset buckets (the
+    same seam as every agg view); state = O(distinct (group, value))
+    rows — the price of exactness; read = one aggregation over that
+    state, never the base table. When the distinct-pair state is
+    itself large, the approx_distinct kind (O(1) sketch per group)
+    is the scale alternative.
+
+    Reference analog: the reference's unique-index dedup accounting
+    (mongodb_storage.py:422-431) is a distinct-count over the key
+    column recomputed per poll; this maintains it incrementally."""
+    view = create_agg_view(
+        spark, source, root, [*group_cols, col],
+        [("count", None, "__mult")], n_buckets)
+    spec = _load_spec(view)
+    spec["aggs"] = [list(a) for a in spec["aggs"]]
+    spec["distinct"] = {"col": col, "alias": alias,
+                        "group_cols": list(group_cols)}
+    with open(os.path.join(root, _SPEC_FILE), "w") as f:
+        json.dump(spec, f)
+    return view
+
+
+def read_distinct_view(view: LakeTable) -> DataFrame:
+    """The maintained exact distinct count: (group_cols..., alias).
+    NULL values don't count (SQL COUNT DISTINCT semantics) but a group
+    whose rows are all-NULL still appears, with count 0 — its NULL
+    value row keeps the group alive in the multiset."""
+    spec = _load_spec(view)
+    d = spec.get("distinct")
+    if d is None:
+        raise ValueError("not a distinct view — use read_agg_view")
+    df = view.read()
+    return (
+        df.groupBy(*[F.col(c) for c in d["group_cols"]])
+        .agg(F.count(F.when(F.col(d["col"]).isNotNull(), F.lit(1)))
+             .alias(d["alias"]))
+    )

@@ -33,7 +33,10 @@ AGGS = [("count", None, "n_pages"),
         ("avg", "score", "avg_score"),
         ("count_col", "score", "n_scored"),
         ("min", "score", "min_score"),
-        ("max", "score", "max_score")]
+        ("max", "score", "max_score"),
+        # HLL is exact at these cardinalities (<=100 distinct), so the
+        # sketch estimate must equal COUNT(DISTINCT) in every sweep
+        ("approx_distinct", "score", "nd_score")]
 
 
 def _batch(spark, rows):
@@ -49,7 +52,8 @@ def _recompute(table):
                 F.avg("score").alias("avg_score"),
                 F.count("score").alias("n_scored"),
                 F.min("score").alias("min_score"),
-                F.max("score").alias("max_score")).collect()}
+                F.max("score").alias("max_score"),
+                F.count_distinct("score").alias("nd_score")).collect()}
 
 
 def _view_state(view):
@@ -257,7 +261,8 @@ def test_view_tracks_renamed_source_columns_by_field_id(
                F.avg("quality").alias("avg_score"),
                F.count("quality").alias("n_scored"),
                F.min("quality").alias("min_score"),
-               F.max("quality").alias("max_score")).collect()}
+               F.max("quality").alias("max_score"),
+               F.count_distinct("quality").alias("nd_score")).collect()}
     exp = {k: {"host" if kk == "site" else kk: vv
                for kk, vv in v.items()} for k, v in exp.items()}
     assert got == exp
@@ -323,3 +328,95 @@ def test_minmax_string_extremes_and_multi_commit_window(
                F.max("url").alias("last_url")).collect()}
     assert got == exp == {"x": {"host": "x", "n": 3,
                                 "first_url": "b2", "last_url": "z9"}}
+
+
+def test_approx_distinct_delete_edges(spark, tmp_path, table):
+    """The HLL hybrid's hard cases: deleting ONE of two occurrences of
+    a value must not lower the distinct count (recompute path sees the
+    survivor), deleting the LAST occurrence must lower it, and an
+    all-null group reads 0 (not NULL)."""
+    aggs = [("count", None, "n"), ("approx_distinct", "score", "nd")]
+    view = create_agg_view(spark, table, str(tmp_path / "v"),
+                           ["host"], aggs)
+    steps = [
+        # two rows share score 10; one unique score 20; all-null group b
+        [("u1", "a", 10, 1, "I"), ("u2", "a", 10, 2, "I"),
+         ("u3", "a", 20, 3, "I"), ("u4", "b", None, 4, "I")],
+        # delete one of the two 10s: nd stays 2
+        [("u1", None, None, 10, "D")],
+        # delete the last 10: nd drops to 1
+        [("u2", None, None, 11, "D")],
+        # update the survivor's value: retraction + insert in one window
+        [("u3", "a", 30, 12, "U")],
+    ]
+    expected_nd = [{"a": 2, "b": 0}, {"a": 2, "b": 0},
+                   {"a": 1, "b": 0}, {"a": 1, "b": 0}]
+    for i, rows in enumerate(steps):
+        table.merge(_batch(spark, rows), batch_id=f"e-{i}",
+                    mode="delta" if i % 2 else "cow")
+        refresh_agg_view(table, view)
+        got = {r["host"]: r["nd"] for r in read_agg_view(view).collect()}
+        assert got == expected_nd[i], f"step {i}"
+
+
+def test_approx_distinct_rejects_unsketchable_type(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        FIELDS + [{"id": 4, "name": "w", "type": "double"}], "url",
+        n_buckets=2)
+    with pytest.raises(ValueError, match="approx_distinct"):
+        create_agg_view(spark, t, str(tmp_path / "v"), ["host"],
+                        [("count", None, "n"),
+                         ("approx_distinct", "w", "nd")])
+
+
+def test_exact_distinct_view_hostile_history(spark, tmp_path, table):
+    """create_distinct_view: exact COUNT(DISTINCT score) per host via
+    the counting-maintained value multiset — equal to recompute through
+    dup-value deletes, last-occurrence deletes, group migration, and an
+    all-null group (counts 0 but stays visible)."""
+    from clinical_trials_etl_spark.cdc.ivm import (
+        create_distinct_view, read_distinct_view)
+
+    view = create_distinct_view(spark, table, str(tmp_path / "v"),
+                                ["host"], "score", "nd")
+    steps = [
+        ([("u1", "a", 10, 1, "I"), ("u2", "a", 10, 2, "I"),
+          ("u3", "a", 20, 3, "I"), ("u4", "b", None, 4, "I")], "cow"),
+        # one of two 10s goes: nd unchanged — THE case signed deltas
+        # alone cannot decide, the multiset multiplicity can
+        ([("u1", None, None, 10, "D")], "delta"),
+        # the last 10 goes: nd drops
+        ([("u2", None, None, 11, "D")], "cow"),
+        # group migration a->b with a fresh value
+        ([("u3", "b", 7, 12, "U")], "delta"),
+        # empty group a entirely... (u3 moved, nothing left in a)
+        ([("u5", "c", 20, 13, "I"), ("u6", "c", 20, 14, "I")], "cow"),
+    ]
+    for i, (rows, mode) in enumerate(steps):
+        table.merge(_batch(spark, rows), batch_id=f"e-{i}", mode=mode)
+        refresh_agg_view(table, view)
+        got = {r["host"]: r["nd"]
+               for r in read_distinct_view(view).collect()}
+        exp = {r["host"]: r["nd"] for r in
+               table.read().groupBy("host").agg(
+                   F.count_distinct("score").alias("nd")).collect()}
+        assert got == exp, f"step {i}"
+    # all-null group b is present with 0 at step 0 semantics; final
+    # state has b with values {7} -> 1, c with {20} -> 1
+    assert got == {"b": 1, "c": 1}
+
+
+def test_exact_distinct_view_redelivery_noop(spark, tmp_path, table):
+    from clinical_trials_etl_spark.cdc.ivm import (
+        create_distinct_view, read_distinct_view)
+
+    view = create_distinct_view(spark, table, str(tmp_path / "v"),
+                                ["host"], "score", "nd")
+    table.merge(_batch(spark, [("u1", "a", 1, 1, "I")]), batch_id="e-0")
+    refresh_agg_view(table, view)
+    v_before = view.current_version()
+    refresh_agg_view(table, view)   # nothing new
+    assert view.current_version() == v_before
+    assert {r["host"]: r["nd"]
+            for r in read_distinct_view(view).collect()} == {"a": 1}
