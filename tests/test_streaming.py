@@ -230,8 +230,10 @@ def test_stream_maintains_agg_view_on_cadence(spark, log_dir, tmp_path):
     SAME source version it reflects (time-travel read)."""
     from clinical_trials_etl_spark.cdc.ivm import (
         create_agg_view,
+        create_distinct_view,
         last_refreshed,
         read_agg_view,
+        read_distinct_view,
         refresh_agg_view,
     )
 
@@ -240,34 +242,52 @@ def test_stream_maintains_agg_view_on_cadence(spark, log_dir, tmp_path):
         spark, table, str(tmp_path / "view_ivm"),
         group_cols=["lang"], aggs=[("count", None, "pages"),
                                    ("min", "warc_ts", "first_seen"),
-                                   ("max", "warc_ts", "last_seen")])
+                                   ("max", "warc_ts", "last_seen"),
+                                   ("approx_distinct", "url", "nd_pages")])
+    # a second, heterogeneous view on the same cadence: the exact
+    # distinct-url multiset (HLL exact at these cardinalities, so the
+    # two must agree with each other AND the recompute)
+    dview = create_distinct_view(
+        spark, table, str(tmp_path / "view_dv"), ["lang"], "url", "nd")
 
     run_stream(
         spark, log_dir, table, str(tmp_path / "ckpt_ivm"),
-        max_files_per_trigger=1, views=[view], refresh_views_every=2,
+        max_files_per_trigger=1, views=[view, dview],
+        refresh_views_every=2,
     )
     v = last_refreshed(view)
     assert v > 0, "the in-stream cadence never refreshed the view"
+    assert last_refreshed(dview) == v
 
     def recompute(version):
         # the group column's CURRENT name at that source version
         name = next(f["name"] for f in table.fields(table.snapshot(version))
                     if f["id"] == 5)
-        return {r[0]: (r[1], r[2], r[3])
+        return {r[0]: (r[1], r[2], r[3], r[4])
                 for r in table.read(version=version).groupBy(name)
-                .agg(F.count("*"), F.min("warc_ts"), F.max("warc_ts"))
+                .agg(F.count("*"), F.min("warc_ts"), F.max("warc_ts"),
+                     F.count_distinct("url"))
                 .collect()}
 
     def state():
-        return {r["lang"]: (r["pages"], r["first_seen"], r["last_seen"])
+        return {r["lang"]: (r["pages"], r["first_seen"], r["last_seen"],
+                            r["nd_pages"])
                 for r in read_agg_view(view).collect()}
 
-    assert state() == recompute(v)
+    def dstate():
+        return {r["lang"]: r["nd"]
+                for r in read_distinct_view(dview).collect()}
 
-    # a manual catch-up refresh converges the view to the head
+    assert state() == recompute(v)
+    assert dstate() == {k: t[3] for k, t in recompute(v).items()}
+
+    # a manual catch-up refresh converges the views to the head
     refresh_agg_view(table, view)
+    refresh_agg_view(table, dview)
     assert last_refreshed(view) == table.current_version()
-    assert state() == recompute(table.current_version())
+    head = recompute(table.current_version())
+    assert state() == head
+    assert dstate() == {k: t[3] for k, t in head.items()}
 
 
 def test_stream_sorted_compaction_enables_windowed_skipping(
