@@ -398,9 +398,17 @@ def refresh_agg_view(
                 cur_groups, cur_of, state_cols, state_types,
                 view_types, cleanup)
         else:
+            # semi-join the touched-bucket state down to the groups the
+            # delta actually names: merge carries unchanged rows
+            # forward, so re-summing and re-merging a bucket's
+            # untouched groups is pure waste — for a high-cardinality
+            # multiset view (create_distinct_view) that is the
+            # difference between O(changed groups) and O(bucket state)
+            # rows through the agg + merge (BENCH/exp_distinct_ivm.py)
             prev = (
                 view.read_raw(touched)
                 .where(~F.col("_deleted"))
+                .join(delta.select(_GK), _GK, "left_semi")
                 .select(_GK, *spec["group_cols"], *state_cols)
             )
             # union + re-sum instead of an outer join: one narrow
@@ -485,9 +493,14 @@ def _merge_state_hybrid(
     prev_cols = ([*spec["group_cols"], *state_cols]
                  + [f"__ext_{a}" for _k, _c, a in mm]
                  + [f"__hll_{a}" for _k, _c, a in hll])
+    # groups the window never names keep their stored state via the
+    # merge's carry-forward — only delta-named groups need to flow
+    # through the state join (same O(changed groups) seam as the
+    # counting-only path)
     prev = (
         view.read_raw(touched)
         .where(~F.col("_deleted"))
+        .join(delta.select(_GK), _GK, "left_semi")
         .select(F.col(_GK),
                 *[F.col(c).alias(f"_p_{c}") for c in prev_cols])
     )
@@ -670,12 +683,18 @@ def create_distinct_view(
     read-time rollup over live value rows. Exact under any
     insert/update/delete history — no recompute path exists to take.
 
-    Cost shape: refresh = O(changes) + touched multiset buckets (the
-    same seam as every agg view); state = O(distinct (group, value))
-    rows — the price of exactness; read = one aggregation over that
-    state, never the base table. When the distinct-pair state is
-    itself large, the approx_distinct kind (O(1) sketch per group)
-    is the scale alternative.
+    Cost shape — be honest about the multiset's size: state =
+    O(distinct (group, value)) rows, and a refresh reads the TOUCHED
+    VIEW BUCKETS' state (the same seam as every agg view). For a
+    high-cardinality distinct column with uniformly-spread changes,
+    every bucket is touched and the refresh approaches O(state)
+    (measured: BENCH/exp_distinct_ivm.py) — still column-pruned and
+    never the base table, but not O(changes). The exact view is the
+    right tool when the distinct column is low-cardinality (small
+    state), changes are key-concentrated (bucket pruning bites), or
+    exactness under deletes is non-negotiable; for high-cardinality
+    distinct at scale, the approx_distinct kind (O(1) sketch per
+    group, insert windows O(changes)) is the design-scale path.
 
     Reference analog: the reference's unique-index dedup accounting
     (mongodb_storage.py:422-431) is a distinct-count over the key
