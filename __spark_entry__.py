@@ -97,6 +97,7 @@ _RECERT_FRONT = [
     "j4b_parttype_revenue",
     "p11_multi_col_search",
     "dedup_cluster_cc",
+    "dedup_keep_canonical",
     # rows-only family: keep the independent driver signal fresh
     "dedup_minhash_lsh",
     "dedup_simhash",

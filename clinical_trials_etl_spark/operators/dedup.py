@@ -182,6 +182,72 @@ ORDER BY cluster_id, doc_id
 """
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The end-to-end deduplicated corpus: every document EXCEPT
+    non-keeper near-dup cluster members (keeper = min doc_id per
+    component, from q_dedup_cluster_cc). The kept set is what a
+    training pipeline actually feeds downstream; expressed as one
+    LEFT ANTI join of the corpus against the non-keeper members —
+    at scale a broadcast anti-join, since cluster members are a tiny
+    fraction of the corpus."""
+    from clinical_trials_etl_spark.operators.graph import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    non_keepers = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(non_keepers), "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 300)
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.2
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+), members AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+"""
+
+
 LONG_MAX = (1 << 63) - 1
 
 
@@ -449,6 +515,8 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_cluster_cc": (q_dedup_cluster_cc, SQL_DEDUP_CLUSTER_CC),
+    "dedup_keep_canonical": (q_dedup_keep_canonical,
+                             SQL_DEDUP_KEEP_CANONICAL),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_simhash": (q_dedup_simhash, None),
