@@ -124,6 +124,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "rollup with backlog and skew signals) built "
                         "from the queryable metadata tables "
                         "(lake/metadata.py) and exit")
+    p.add_argument("--view", action="append", default=None,
+                   dest="views", metavar="ROOT",
+                   help="root of an existing materialized aggregate / "
+                        "distinct view of --table (cdc/ivm.py; "
+                        "repeatable). --stream refreshes each view on "
+                        "the applied-epoch cadence "
+                        "(--refresh-views-every), batch replay and "
+                        "--maintain refresh each once to the table "
+                        "head — so view maintenance ships in the same "
+                        "spark-submit shapes as ingest and compaction")
+    p.add_argument("--refresh-views-every", type=int, default=None,
+                   help="(--stream) advance every --view each N "
+                        "applied epochs (default 4 when --view given)")
     p.add_argument("--key-bloom-bits", type=int, default=None,
                    help="record per-file key blooms of this many bits "
                         "in the manifest at every write (table-create "
@@ -197,6 +210,14 @@ def main(argv: list[str] | None = None) -> dict:
         print(json.dumps(result))
         return result
 
+    def _refresh_views(table: LakeTable) -> list[dict] | None:
+        if not args.views:
+            return None
+        from clinical_trials_etl_spark.cdc.ivm import refresh_agg_view
+
+        return [refresh_agg_view(table, LakeTable(spark, root))
+                for root in args.views]
+
     if args.maintain:
         if args.stream:
             raise SystemExit("--maintain is exclusive with --stream")
@@ -215,6 +236,9 @@ def main(argv: list[str] | None = None) -> dict:
         if args.gc_orphans_older_than is not None:
             result["gc"] = table.remove_orphans(
                 older_than_s=args.gc_orphans_older_than)
+        views = _refresh_views(table)
+        if views is not None:
+            result["views"] = views
         result["version"] = table.current_version()
         print(json.dumps(result))
         return result
@@ -274,9 +298,16 @@ def main(argv: list[str] | None = None) -> dict:
             compact_rows_per_file=args.compact_rows_per_file,
             envelope_dir=args.envelope_dir,
             publish_envelopes_every=args.publish_envelopes_every,
+            views=([LakeTable(spark, r) for r in args.views]
+                   if args.views else None),
+            refresh_views_every=(
+                (args.refresh_views_every or 4) if args.views else None),
             registry=registry,
             min_lsn=min_lsn,
         )
+        # converge views to the final head (the in-stream cadence may
+        # stop short of the last epochs)
+        views = _refresh_views(table)
         result = {
             "mode": "stream",
             "batches": len(progress),
@@ -284,6 +315,8 @@ def main(argv: list[str] | None = None) -> dict:
             "rows": table.read().count(),
             "lineage_commits": len(lineage_report(table)),
         }
+        if views is not None:
+            result["views"] = views
     else:
         table = replay(spark, args.log_dir, args.table,
                        n_buckets=args.n_buckets, n_salt=args.n_salt,
@@ -291,11 +324,14 @@ def main(argv: list[str] | None = None) -> dict:
                        compact_every=args.compact_every,
                        key_bloom_bits=args.key_bloom_bits,
                        registry=registry, min_lsn=min_lsn)
+        views = _refresh_views(table)
         result = {
             "mode": "replay",
             "version": table.current_version(),
             "rows": table.read().count(),
         }
+        if views is not None:
+            result["views"] = views
     print(json.dumps(result))
     return result
 
