@@ -307,7 +307,8 @@ def refresh_agg_view(
     feed_cols = sorted(set(cur_groups) | set(cur_of.values()))
     n_merges = sum(
         1 for v in range(start + 1, to_version + 1)
-        if (source._lineage_entry(v) or {}).get("type") == "merge")
+        if (source._lineage_entry(v) or {}).get("type")
+        in ("merge", "fast_forward"))
     if n_merges > 1:
         # telescoped one-pass window diff — identical signed
         # contributions, O(2 reads) instead of O(commits) feed arms

@@ -93,7 +93,8 @@ def sync_mirror(
                  if f["id"] in src_by_id]
     n_merges = sum(
         1 for v in range(start + 1, to_version + 1)
-        if (source._lineage_entry(v) or {}).get("type") == "merge")
+        if (source._lineage_entry(v) or {}).get("type")
+        in ("merge", "fast_forward"))
     if n_merges > 1:
         # one-pass window diff instead of a feed arm per commit — the
         # mirror applies the max-(lsn, deleted) winner rule anyway, so

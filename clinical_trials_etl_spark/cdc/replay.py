@@ -57,6 +57,7 @@ def replay(
     compact_every: int | None = None,
     key_bloom_bits: int | None = None,
     min_lsn: int | None = None,
+    table: LakeTable | None = None,
 ) -> LakeTable:
     """Replay the log into a fresh (or existing, when resuming) table;
     one micro-batch per ``segments_per_batch`` segments.
@@ -80,11 +81,16 @@ def replay(
     already reflects them). A plain scan-level filter pushed down to
     the WAL parquet read; with max-LSN merge semantics it is an
     optimization, not a correctness requirement."""
-    if os.path.exists(os.path.join(table_root, "_meta", "_current")):
-        table = LakeTable(spark, table_root)
-    else:
-        table = create_pages_table(spark, table_root, n_buckets,
-                                   key_bloom_bits=key_bloom_bits)
+    if table is None:
+        # default target: the table at table_root (created if absent).
+        # A caller ingesting into a BRANCH passes the branch table
+        # explicitly (job.py --branch) — same apply path, its meta
+        # chain instead of main's.
+        if os.path.exists(os.path.join(table_root, "_meta", "_current")):
+            table = LakeTable(spark, table_root)
+        else:
+            table = create_pages_table(spark, table_root, n_buckets,
+                                       key_bloom_bits=key_bloom_bits)
     segs = list_segments(log_dir)
     applied = 0
     for i in range(start_segment, len(segs), segments_per_batch):

@@ -137,6 +137,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refresh-views-every", type=int, default=None,
                    help="(--stream) advance every --view each N "
                         "applied epochs (default 4 when --view given)")
+    p.add_argument("--batch-prefix", default="replay",
+                   help="(batch replay) idempotence-id prefix for this "
+                        "pass ('{prefix}-{segment}'). Distinct replay "
+                        "passes against the SAME table — a base load "
+                        "then an update log — MUST use distinct "
+                        "prefixes, or the second pass's ids collide "
+                        "with the first's high-water mark and every "
+                        "batch silently skips (cdc/replay.py contract); "
+                        "a RESUMED pass must keep its prefix")
+    p.add_argument("--branch", default=None, metavar="NAME",
+                   help="ingest into this BRANCH of --table instead of "
+                        "main (created at the current head if absent) — "
+                        "the audit-branch deployment shape (Iceberg "
+                        "spark.wap.branch analog): run the load against "
+                        "the branch, audit its state, then publish "
+                        "atomically with --maintain --fast-forward NAME "
+                        "or discard with drop_branch")
+    p.add_argument("--fast-forward", default=None, metavar="NAME",
+                   dest="fast_forward",
+                   help="(--maintain) publish branch NAME onto main as "
+                        "one atomic commit (squash fast_forward) before "
+                        "any compaction/expiry/GC in the same pass")
     p.add_argument("--key-bloom-bits", type=int, default=None,
                    help="record per-file key blooms of this many bits "
                         "in the manifest at every write (table-create "
@@ -222,6 +244,9 @@ def main(argv: list[str] | None = None) -> dict:
         if args.stream:
             raise SystemExit("--maintain is exclusive with --stream")
         table = LakeTable(spark, args.table)
+        result = {"mode": "maintain"}
+        if args.fast_forward:
+            result["fast_forward"] = table.fast_forward(args.fast_forward)
         compacted = table.compact(
             max_files_per_bucket=args.max_files_per_bucket,
             sort_by=args.compact_sort_by,
@@ -229,7 +254,7 @@ def main(argv: list[str] | None = None) -> dict:
                        if args.compact_zorder_by else None),
             rows_per_file=args.compact_rows_per_file,
         )
-        result = {"mode": "maintain", "compact": compacted}
+        result["compact"] = compacted
         if args.expire_keep is not None:
             result["expire"] = table.expire_snapshots(
                 keep_last=args.expire_keep)
@@ -246,6 +271,19 @@ def main(argv: list[str] | None = None) -> dict:
     if not args.log_dir:
         raise SystemExit("--log-dir is required unless "
                          "--maintain/--describe")
+    if args.branch and args.views:
+        raise SystemExit("--view is incompatible with --branch: views "
+                         "track the MAIN table's commit chain — refresh "
+                         "them after --maintain --fast-forward publishes "
+                         "the branch")
+
+    def _ingest_target(table: LakeTable) -> LakeTable:
+        """Main, or the audit branch (created at the head if absent)."""
+        if not args.branch:
+            return table
+        if args.branch not in table.branches():
+            table.create_branch(args.branch)
+        return table.branch(args.branch)
     registry = None
     if args.avro_registry:
         from clinical_trials_etl_spark.cdc.avro_registry import \
@@ -282,6 +320,7 @@ def main(argv: list[str] | None = None) -> dict:
         else:
             table = create_pages_table(spark, args.table, args.n_buckets,
                                        key_bloom_bits=args.key_bloom_bits)
+        table = _ingest_target(table)
         progress = run_stream(
             spark,
             args.log_dir,
@@ -314,21 +353,35 @@ def main(argv: list[str] | None = None) -> dict:
             "version": table.current_version(),
             "rows": table.read().count(),
             "lineage_commits": len(lineage_report(table)),
+            **({"branch": args.branch} if args.branch else {}),
         }
         if views is not None:
             result["views"] = views
     else:
+        target = None
+        if args.branch:
+            if os.path.exists(os.path.join(args.table, "_meta",
+                                           "_current")):
+                base = LakeTable(spark, args.table)
+            else:
+                base = create_pages_table(
+                    spark, args.table, args.n_buckets,
+                    key_bloom_bits=args.key_bloom_bits)
+            target = _ingest_target(base)
         table = replay(spark, args.log_dir, args.table,
                        n_buckets=args.n_buckets, n_salt=args.n_salt,
                        merge_mode=args.merge_mode,
                        compact_every=args.compact_every,
                        key_bloom_bits=args.key_bloom_bits,
-                       registry=registry, min_lsn=min_lsn)
+                       registry=registry, min_lsn=min_lsn,
+                       batch_prefix=args.batch_prefix,
+                       table=target)
         views = _refresh_views(table)
         result = {
             "mode": "replay",
             "version": table.current_version(),
             "rows": table.read().count(),
+            **({"branch": args.branch} if args.branch else {}),
         }
         if views is not None:
             result["views"] = views

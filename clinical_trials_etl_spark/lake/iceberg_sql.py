@@ -165,3 +165,53 @@ def time_travel_select(
     else:
         clause = f"TIMESTAMP AS OF TIMESTAMP '{as_of_ts}'"
     return f"SELECT {cols} FROM {table_name} {clause}"
+
+
+def create_branch_statement(table_name: str, branch: str,
+                            version: int | None = None) -> str:
+    """Branch-create DDL matching :meth:`LakeTable.create_branch` on a
+    real catalog (Iceberg branching DDL, Spark 3.4+ / Iceberg 1.2+).
+    ``version`` pins the fork point (the stand-in's ``version=`` arg);
+    omitted = current head, same default both sides."""
+    at = f" AS OF VERSION {int(version)}" if version is not None else ""
+    return f"ALTER TABLE {table_name} CREATE BRANCH {branch}{at}"
+
+
+def drop_branch_statement(table_name: str, branch: str) -> str:
+    return f"ALTER TABLE {table_name} DROP BRANCH {branch}"
+
+
+def branch_select(table_name: str, branch: str,
+                  columns: list[str] | None = None) -> str:
+    """Read a branch head on a real catalog — Spark's ``VERSION AS
+    OF`` clause accepts a branch name (Iceberg ref resolution), the
+    twin of ``table.branch(name).read()``."""
+    cols = ", ".join(columns) if columns else "*"
+    return f"SELECT {cols} FROM {table_name} VERSION AS OF '{branch}'"
+
+
+def fast_forward_call(catalog: str, table_name: str, branch: str,
+                      to_branch: str = "main") -> str:
+    """The publish step matching :meth:`LakeTable.fast_forward` on a
+    real catalog: Iceberg's ``fast_forward`` procedure moves
+    ``to_branch`` (main) to the audit branch's head. Same ancestry
+    contract — the procedure fails unless the target is an ancestor of
+    the branch head, exactly the stand-in's CommitConflict guard."""
+    return (
+        f"CALL {catalog}.system.fast_forward("
+        f"table => '{table_name}', "
+        f"branch => '{to_branch}', "
+        f"to => '{branch}')"
+    )
+
+
+def write_to_branch_statements(table_name: str, branch: str) -> list[str]:
+    """The write-audit-publish session setup on a real catalog: route
+    the ingest stream's writes to the audit branch via the WAP session
+    conf (Iceberg ``spark.wap.branch``) — the deployment twin of
+    pointing ``run_stream``/``replay`` at ``table.branch(name)``."""
+    return [
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('write.wap.enabled'='true')",
+        f"SET spark.wap.branch = {branch}",
+    ]

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -540,6 +541,304 @@ class LakeTable:
         if name not in tags:
             raise ValueError(f"no such tag {name!r} (have {sorted(tags)})")
         return tags[name]
+
+    # ------------------------------------------------------- branches
+    #
+    # Iceberg-style BRANCHES (mutable named refs with their own commit
+    # chain) on top of the same snapshot format. A branch is a
+    # metadata-only fork: its snap-0 re-references the fork point's
+    # manifests (no data copies), its data files land in the SHARED
+    # ``data/`` directory (every write path in this format is
+    # copy-on-write — no file is ever mutated — so sharing is safe),
+    # and only its metadata chain diverges, under
+    # ``_meta/branches/<name>/``. The deployment shape this serves is
+    # the audit branch (Iceberg's ``spark.wap.branch`` pattern): run
+    # the ingest stream or a backfill against a branch, audit the
+    # RESULT STATE across any number of commits — merges, compaction,
+    # schema evolution — then publish atomically with
+    # ``fast_forward`` or discard with ``drop_branch``. Compared to
+    # the single-commit WAP staging below (write-audit-publish one
+    # batch), a branch is the multi-commit generalization.
+    #
+    # ``fast_forward`` is a squash publish: ONE create-if-absent
+    # commit on main whose state is the branch head's (manifests
+    # adopted by hard link, schema and the exactly-once ledger carried
+    # over — re-delivering branch-applied epochs to main is a no-op),
+    # and whose commit manifest is the NET file diff vs the fork base,
+    # so the change feed / mirrors / incremental views downstream of
+    # main read O(branch changes), never O(table). Publishing is
+    # all-or-nothing by construction (the engine's snapshot commit is
+    # a single atomic link), which is why the branch's commits are
+    # squashed rather than replayed one-by-one — a multi-snapshot
+    # adoption could be half-published by a crash or a lost race.
+    #
+    # Reference analog: none — the reference's store has no isolation
+    # between a bulk load and its readers at all (every upsert is
+    # immediately visible, trials_extractor/storage/
+    # mongodb_storage.py); this is the audited-publish replacement.
+
+    @property
+    def branches_dir(self) -> str:
+        return os.path.join(self.meta_dir, "branches")
+
+    def _branch_ref_path(self, name: str) -> str:
+        if not self._REF_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid branch name {name!r} (want [A-Za-z0-9._-], "
+                f"letter/digit first, <=64 chars)")
+        return os.path.join(self.refs_dir, f"branch-{name}.json")
+
+    def _require_main(self, op: str) -> None:
+        if getattr(self, "branch_name", None) is not None:
+            raise ValueError(
+                f"{op} must run on the main table, not on branch "
+                f"{self.branch_name!r} (branches share the main "
+                f"table's data directory; one level of branching)")
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Fork a branch at ``version`` (default: current head).
+        Metadata-only — the branch's snap-0 re-references the fork
+        snapshot's manifests; no data moves. The fork copy carries the
+        schema, bucket layout AND the exactly-once ledger
+        (``batch_hwm``/``applied_recent``), so a stream pointed at the
+        branch resumes exactly where the main table's state left off.
+        The ref file is linked create-if-absent LAST, so a crashed
+        create leaves an unlisted directory (inert residue), never a
+        half-registered branch."""
+        self._require_main("create_branch")
+        ref = self._branch_ref_path(name)
+        if version is None:
+            version = self.current_version()
+        snap = self.snapshot(version)
+        bdir = os.path.join(self.branches_dir, name)
+        if os.path.exists(ref) or os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(bdir, exist_ok=True)
+        fork = {k: v for k, v in snap.items() if k != "lineage"}
+        fork["version"] = 0
+        fork["parent"] = None
+        fork["fork"] = {"version": version}
+        fork["committed_at"] = time.time()
+        self.branch(name, _check=False)._write_snapshot(fork)
+        os.makedirs(self.refs_dir, exist_ok=True)
+        tmp = ref + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version,
+                       "created_at": time.time()}, f, indent=1)
+        try:
+            os.link(tmp, ref)
+        except FileExistsError:
+            raise ValueError(
+                f"branch {name!r} already exists") from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return {"name": name, "forked_at": version}
+
+    def branches(self) -> dict[str, dict]:
+        """All branches, name -> {forked_at, head} (head = number of
+        unpublished commits on the branch)."""
+        if not os.path.isdir(self.refs_dir):
+            return {}
+        out: dict[str, dict] = {}
+        for fn in sorted(os.listdir(self.refs_dir)):
+            if fn.startswith("branch-") and fn.endswith(".json"):
+                with open(os.path.join(self.refs_dir, fn)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = {
+                    "forked_at": rec["version"],
+                    "head": self.branch(
+                        rec["name"], _check=False).current_version(),
+                }
+        return out
+
+    def branch(self, name: str, _check: bool = True) -> "LakeTable":
+        """The branch as a LakeTable: same engine, same data
+        directory, its own metadata chain — every operation (merge,
+        read, changes, compact, schema evolution, WAP staging, time
+        travel) works against it unchanged. Versions are
+        branch-local: 0 is the fork state. Maintenance that sweeps
+        the SHARED data directory (``remove_orphans``,
+        ``expire_snapshots``) is refused on a branch — run it on main,
+        which counts branch-referenced files as live."""
+        self._require_main("branch")
+        ref = self._branch_ref_path(name)  # validates the name
+        if _check and not os.path.exists(ref):
+            raise ValueError(
+                f"no such branch {name!r} "
+                f"(have {sorted(self.branches())})")
+        bt = LakeTable(self.spark, self.root)
+        bt.meta_dir = os.path.join(self.branches_dir, name)
+        bt.branch_name = name  # data_dir stays the shared root/data
+        return bt
+
+    def drop_branch(self, name: str, force: bool = False) -> dict:
+        """Discard a branch. Refuses while it holds unpublished
+        commits unless ``force`` — their exclusive data files become
+        unreferenced and main's ``remove_orphans`` reclaims them on
+        the normal maintenance cadence."""
+        self._require_main("drop_branch")
+        ref = self._branch_ref_path(name)
+        bdir = os.path.join(self.branches_dir, name)
+        if not (os.path.exists(ref) or os.path.isdir(bdir)):
+            raise ValueError(f"no such branch {name!r}")
+        head = 0
+        if os.path.isdir(bdir):
+            head = self.branch(name, _check=False).current_version()
+        if head > 0 and not force:
+            raise ValueError(
+                f"branch {name!r} has {head} unpublished commit(s) — "
+                f"fast_forward to publish them, or "
+                f"drop_branch(force=True) to discard")
+        try:
+            os.remove(ref)
+        except OSError:
+            pass
+        shutil.rmtree(bdir, ignore_errors=True)
+        return {"dropped": name, "discarded_commits": head}
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch onto main as ONE atomic commit (Iceberg
+        ``fast_forward`` analog, squash semantics): main's next
+        snapshot IS the branch head's state — manifests adopted by
+        hard link into main's metadata dir, schema/bucket layout and
+        the exactly-once ledger carried over (epochs the branch
+        absorbed are no-ops if re-delivered to main). Requires main
+        to still be at the fork point: the branch's commits (and any
+        audit over its state) assumed that exact base, so an
+        intervening main commit raises CommitConflict — re-branch on
+        the new state (same ancestry guard as ``publish_staged``).
+
+        The published commit's manifest is the NET file diff vs the
+        fork base, so downstream incremental consumers (``changes``/
+        ``changes_window``, mirrors, materialized views) fold the
+        branch's work as one O(branch-changes) commit. Two honest
+        feed caveats travel in the lineage: a branch that REBUCKETED
+        publishes with bucket pruning disabled for the feed's
+        pre-state read (bucket ids changed), and a branch whose
+        history contains a ROLLBACK publishes feed-opaque — a revert
+        can move keys to OLDER lsns, which a strictly-greater diff
+        cannot represent; consumers resync from a full read (the same
+        contract as a rollback directly on main).
+
+        The branch is dropped after publishing (its chain was
+        branch-local-numbered; the squashed commit carries a compact
+        ``branch_history`` audit trail in its lineage)."""
+        self._require_main("fast_forward")
+        bt = self.branch(name)
+        with open(self._branch_ref_path(name)) as f:
+            ref = json.load(f)
+        base_version = ref["version"]
+        head = bt.current_version()
+        if bt.staged():
+            raise ValueError(
+                f"branch {name!r} has staged WAP commits — publish or "
+                f"abort them on the branch before fast_forward")
+        if head == 0:
+            self.drop_branch(name)
+            return {"published": name, "commits": 0, "noop": True,
+                    "version": self.current_version()}
+        cur = self.current_version()
+        if cur != base_version:
+            raise CommitConflict(
+                f"branch {name!r} forked at v{base_version} but the "
+                f"table is at v{cur} — its commits (and any audit "
+                f"over them) assumed that exact base; re-create the "
+                f"branch on the current state")
+        head_snap = bt.snapshot(head)
+        base_snap = self.snapshot(base_version)
+        version = cur + 1
+
+        branch_history: list[dict] = []
+        rolled_back = rebucketed = False
+        for v in range(1, head + 1):
+            lin = bt._lineage_entry(v) or {}
+            t = lin.get("type")
+            rolled_back |= t == "rollback"
+            rebucketed |= t == "rebucket"
+            branch_history.append({"branch_version": v, "type": t})
+        rebucketed |= head_snap["n_buckets"] != base_snap["n_buckets"]
+
+        # net file diff vs the fork base = the published commit's
+        # manifest (written into MAIN's meta dir; the branch dir goes
+        # away). Entries keep their stats/blooms — skipping survives
+        # the publish.
+        base_paths = {e["path"] for e in self.files(base_snap)}
+        net: dict[str, list[dict]] = {}
+        for b in head_snap["manifests"]:
+            es = [e for e in self.files(head_snap, {int(b)})
+                  if e["path"] not in base_paths]
+            if es:
+                net[b] = es
+        man_path = self._write_manifest(version, net)
+
+        # adopt branch-dir manifests into main's meta dir (unique
+        # paths — a lost race leaves only inert residue)
+        adopt: dict[str, str] = {}
+        new_manifests: dict[str, list[str]] = {}
+        bprefix = bt.meta_dir + os.sep
+        for b, lst in head_snap["manifests"].items():
+            out = []
+            for p in lst:
+                if p.startswith(bprefix):
+                    if p not in adopt:
+                        np = os.path.join(
+                            self.meta_dir,
+                            f"manifest-{version:08d}-"
+                            f"{uuid.uuid4().hex[:12]}.json")
+                        os.link(p, np)
+                        adopt[p] = np
+                    out.append(adopt[p])
+                else:
+                    out.append(p)
+            new_manifests[b] = out
+
+        lin = {
+            "type": "fast_forward",
+            "branch": name,
+            "forked_at": base_version,
+            "branch_commits": head,
+            "branch_history": branch_history,
+            "commit_manifest": man_path,
+            "touched_buckets": sorted(int(b) for b in net),
+            **({"feed_opaque": True} if rolled_back else {}),
+            **({"rebucketed": True} if rebucketed else {}),
+        }
+        snap2 = dict(head_snap)
+        snap2["version"] = version
+        snap2["parent"] = cur
+        snap2["manifests"] = new_manifests
+        snap2["committed_at"] = time.time()
+        snap2.pop("fork", None)
+        snap2["lineage"] = lin
+        self._write_snapshot(snap2)  # CommitConflict on a lost race
+        self._append_lineage(version, lin)
+        self.drop_branch(name, force=True)
+        return {"published": name, "version": version, "commits": head,
+                "net_files": sum(len(v) for v in net.values())}
+
+    def _branch_file_paths(self) -> set[str]:
+        """Data files referenced by ANY snapshot of ANY branch
+        (including unlisted crash residue under ``branches/``, and
+        branches' own staged WAP commits) — counted as live by main's
+        ``expire_snapshots`` / ``remove_orphans``."""
+        out: set[str] = set()
+        if not os.path.isdir(self.branches_dir):
+            return out
+        for name in os.listdir(self.branches_dir):
+            bt = self.branch(name, _check=False)
+            if not os.path.isdir(bt.meta_dir):
+                continue
+            out |= bt._staged_file_paths()
+            for fn in os.listdir(bt.meta_dir):
+                if fn.startswith("snap-") and fn.endswith(".json"):
+                    with open(os.path.join(bt.meta_dir, fn)) as f:
+                        snap = json.load(f)
+                    for e in self.files(snap):
+                        out.add(e["path"])
+        return out
 
     # --------------------------------------------- batch idempotence
 
@@ -1153,17 +1452,21 @@ class LakeTable:
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             lin = self._lineage_entry(v)
-            if lin is not None and lin.get("type") == "rollback":
+            if lin is not None and (lin.get("type") == "rollback"
+                                    or lin.get("feed_opaque")):
                 # a revert is not incrementally foldable (it can undo
                 # any number of prior commits at once) — fail fast
                 # rather than silently emit nothing for a commit that
                 # DID change logical state; consumers resync from a
-                # full read (cdc/mirror.py / cdc/ivm.py: recreate)
+                # full read (cdc/mirror.py / cdc/ivm.py: recreate).
+                # Same for a fast_forward publishing a branch whose
+                # history contains a rollback (feed_opaque).
                 raise ValueError(
                     f"change range {from_version}..{to_version} "
                     f"crosses a rollback at v{v} — resync downstream "
                     f"state from a full read instead")
-            if lin is None or lin.get("type") != "merge":
+            if lin is None or lin.get("type") not in (
+                    "merge", "fast_forward"):
                 continue  # maintenance/evolution: no logical change
             with open(lin.get("commit_manifest")
                       or self._manifest_path(v)) as f:
@@ -1187,12 +1490,23 @@ class LakeTable:
                 if not net:
                     parts.append(_out(new, v))
                     continue
+            elif lin.get("type") == "fast_forward":
+                # a fast_forward's net manifest can mix COW rewrites
+                # and delta layers from different branch commits — a
+                # key may appear in several files; collapse to its
+                # winner before the diff
+                new = self._winner_per_key(new, key)
             # diff vs the pre-state winner of the touched buckets:
             # strictly-greater (lsn, deleted) == the row changed
             touched = set(
                 lin.get("touched_buckets")
                 or {e["bucket"] for e in entries})
-            pre_entries = self.files(self.snapshot(v - 1), touched)
+            # a fast_forward of a branch that REBUCKETED records its
+            # touched buckets in the NEW layout — pruning the OLD
+            # pre-state by them is unsound; read it unpruned
+            pre_entries = self.files(
+                self.snapshot(v - 1),
+                None if lin.get("rebucketed") else touched)
 
             def _only_new_keys(pre: DataFrame) -> DataFrame:
                 """For a delta commit, the change candidates are its
@@ -1351,19 +1665,23 @@ class LakeTable:
         stable_buckets = True
         for v in range(from_version + 1, to_version + 1):
             lin = self._lineage_entry(v)
-            if lin is not None and lin.get("type") == "rollback":
+            if lin is not None and (lin.get("type") == "rollback"
+                                    or lin.get("feed_opaque")):
                 raise ValueError(
                     f"change range {from_version}..{to_version} "
                     f"crosses a rollback at v{v} — resync downstream "
                     f"state from a full read instead")
-            if lin is not None and lin.get("type") == "rebucket":
+            if lin is not None and (lin.get("type") == "rebucket"
+                                    or lin.get("rebucketed")):
                 # bucket NUMBERS recorded by commits before the
                 # rebucket don't address the same keys afterwards —
                 # bucket pruning is unsound across the boundary, so
                 # read all buckets (candidate-key semi-joins still
-                # bound the diff)
+                # bound the diff); same for a fast_forward publishing
+                # a branch that rebucketed
                 stable_buckets = False
-            if lin is None or lin.get("type") != "merge":
+            if lin is None or lin.get("type") not in (
+                    "merge", "fast_forward"):
                 continue
             with open(lin.get("commit_manifest")
                       or self._manifest_path(v)) as f:
@@ -1799,7 +2117,10 @@ class LakeTable:
         that outranks the sliding window (Iceberg ref-aware snapshot
         retention), so audit/repro reads stay valid until the tag is
         dropped. Staged WAP commits' files are likewise protected
-        until published or aborted."""
+        until published or aborted, and so are files referenced by any
+        BRANCH snapshot (a branch pins its whole chain until published
+        or dropped)."""
+        self._require_main("expire_snapshots")
         current = self.current_version()
         keep_versions = sorted(
             {
@@ -1812,7 +2133,7 @@ class LakeTable:
                 if os.path.exists(self._snap_path(v))
             }
         )
-        live: set[str] = self._staged_file_paths()
+        live: set[str] = self._staged_file_paths() | self._branch_file_paths()
         for v in keep_versions:
             for f in self.files(self.snapshot(v)):
                 live.add(f["path"])
@@ -1923,8 +2244,11 @@ class LakeTable:
         by the time a maintenance job runs.
 
         Staged (unpublished) WAP commits' files count as referenced —
-        a candidate awaiting its audit verdict is not residue."""
-        referenced: set[str] = self._staged_file_paths()
+        a candidate awaiting its audit verdict is not residue — and so
+        do files referenced by any branch snapshot."""
+        self._require_main("remove_orphans")
+        referenced: set[str] = (self._staged_file_paths()
+                                | self._branch_file_paths())
         for fn in os.listdir(self.meta_dir):
             if not (fn.startswith("snap-") and fn.endswith(".json")):
                 continue
@@ -2594,7 +2918,12 @@ class LakeTable:
                 "under this merge — re-bucket the batch and retry")
         for v in range(snap0["version"] + 1, cur["version"] + 1):
             lin = self.snapshot(v).get("lineage")
-            if lin is not None and lin.get("type") == "merge":
+            if lin is not None and lin.get("type") in (
+                    "merge", "fast_forward"):
+                # a fast_forward is an ingest-class rival too: it
+                # absorbed events (possibly via COW rewrites inside
+                # the branch), so the staged layer's winner decision
+                # may be stale — hard conflict, same doctrine
                 raise CommitConflict(
                     f"version {v} was committed by a concurrent MERGE "
                     f"writer — one ingest writer per table; stop the "

@@ -174,3 +174,44 @@ def test_replace_partition_is_iceberg_extension_syntax(spark):
     with pytest.raises(Exception) as exc:
         parser.parsePlan(stmt)
     assert "PARSE_SYNTAX_ERROR" in str(exc.value)
+
+
+def test_branch_statements_golden_and_parse_split(spark):
+    """Branch DDL twins of the stand-in's branch surface
+    (``create_branch``/``fast_forward``/``branch()``-reads,
+    tests/test_branches.py). Golden text plus the same parser split as
+    REPLACE PARTITION FIELD: branch reads, the fast_forward procedure
+    CALL, and the WAP session conf parse with Spark's base parser;
+    CREATE/DROP BRANCH are Iceberg-extension grammar and must NOT
+    (pins the seam for re-review if a Spark upgrade absorbs them)."""
+    assert I.create_branch_statement("lake.pages", "audit") == (
+        "ALTER TABLE lake.pages CREATE BRANCH audit"
+    )
+    assert I.create_branch_statement("lake.pages", "audit", 3) == (
+        "ALTER TABLE lake.pages CREATE BRANCH audit AS OF VERSION 3"
+    )
+    assert I.drop_branch_statement("lake.pages", "audit") == (
+        "ALTER TABLE lake.pages DROP BRANCH audit"
+    )
+    assert I.branch_select("lake.pages", "audit", ["url"]) == (
+        "SELECT url FROM lake.pages VERSION AS OF 'audit'"
+    )
+    assert I.fast_forward_call("cat", "db.pages", "audit") == (
+        "CALL cat.system.fast_forward(table => 'db.pages', "
+        "branch => 'main', to => 'audit')"
+    )
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for s in [
+        I.branch_select("lake.pages", "audit"),
+        I.fast_forward_call("cat", "db.pages", "audit"),
+        *I.write_to_branch_statements("lake.pages", "audit"),
+    ]:
+        parser.parsePlan(s)
+    for s in [
+        I.create_branch_statement("lake.pages", "audit"),
+        I.drop_branch_statement("lake.pages", "audit"),
+    ]:
+        with pytest.raises(Exception) as exc:
+            parser.parsePlan(s)
+        assert "PARSE_SYNTAX_ERROR" in str(exc.value)

@@ -178,3 +178,104 @@ def test_job_refreshes_views_in_all_modes(spark, tmp_path):
     assert ({r[gname]: r["pages"] for r in read_agg_view(v2).collect()}
             == {r[0]: r[1] for r in t2.read().groupBy(name2)
                 .agg(F.count("*")).collect()})
+
+
+def test_job_branch_ingest_audit_fast_forward_cycle(spark, tmp_path):
+    """The audit-branch deployment shape end-to-end through the CLI:
+    seed main -> ingest an update log into --branch audit (main
+    untouched) -> audit the branch state -> --maintain --fast-forward
+    publishes atomically -> main equals a control table that ingested
+    both logs directly; re-running the branch leg after publish is an
+    exactly-once no-op on main."""
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    seed = str(tmp_path / "seed")
+    write_changelog_segments(spark, SPEC, seed, n_segments=2)
+    upd_spec = LogSpec(n_events=400, n_hosts=8, paths_per_host=25,
+                       seed=11, lsn_offset=SPEC.n_events * 4)
+    upd = str(tmp_path / "upd")
+    write_changelog_segments(spark, upd_spec, upd, n_segments=2)
+
+    root = str(tmp_path / "t")
+    main(["--log-dir", seed, "--table", root])
+    t = LakeTable(spark, root)
+    v_main = t.current_version()
+    rows_main = t.read().count()
+
+    out = main(["--log-dir", upd, "--table", root,
+                "--branch", "audit", "--batch-prefix", "upd"])
+    assert out["branch"] == "audit" and out["rows"] > rows_main
+    assert t.current_version() == v_main          # main untouched
+    assert t.read().count() == rows_main
+    assert t.branches()["audit"] == {"forked_at": v_main, "head": 2}
+
+    # audit reads the branch state, then the maintenance pass publishes
+    branch_rows = t.branch("audit").read().count()
+    assert branch_rows > rows_main
+    maint = main(["--table", root, "--maintain",
+                  "--fast-forward", "audit"])
+    assert maint["fast_forward"]["published"] == "audit"
+    assert maint["fast_forward"]["commits"] == 2
+    assert t.read().count() == branch_rows
+    assert t.branches() == {}
+
+    # control: both logs ingested directly
+    ctl_root = str(tmp_path / "ctl")
+    main(["--log-dir", seed, "--table", ctl_root])
+    main(["--log-dir", upd, "--table", ctl_root,
+          "--batch-prefix", "upd"])
+    ctl = LakeTable(spark, ctl_root)
+
+    def state(table):
+        return {r["url"]: (r["text"], r["fetch_status"])
+                for r in table.read().collect()}
+
+    assert state(t) == state(ctl)
+
+    # exactly-once across the seam: re-ingesting the update log into a
+    # NEW branch and publishing again is a no-op (all batch ids known)
+    v_after = t.current_version()
+    main(["--log-dir", upd, "--table", root, "--branch", "again",
+          "--batch-prefix", "upd"])
+    # the ledger the fast_forward carried onto main skips every batch
+    assert t.branch("again").current_version() == 0
+    maint2 = main(["--table", root, "--maintain",
+                   "--fast-forward", "again"])
+    assert maint2["fast_forward"]["noop"] is True
+    assert t.branches() == {}
+    # at most the pass's own compact commit moved the version
+    assert t.current_version() in (v_after, v_after + 1)
+    assert state(t) == state(ctl)
+
+
+def test_job_stream_into_branch_then_publish(spark, tmp_path):
+    """--stream --branch: the checkpointed exactly-once streaming leg
+    lands on the audit branch; fast_forward publishes; state equals
+    streaming the same log straight into main."""
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    seed = str(tmp_path / "seed")
+    write_changelog_segments(spark, SPEC, seed, n_segments=2)
+    upd_spec = LogSpec(n_events=400, n_hosts=8, paths_per_host=25,
+                       seed=13, lsn_offset=SPEC.n_events * 4)
+    upd = str(tmp_path / "upd")
+    write_changelog_segments(spark, upd_spec, upd, n_segments=2)
+
+    root = str(tmp_path / "t")
+    main(["--log-dir", seed, "--table", root])
+    t = LakeTable(spark, root)
+    v_seed = t.current_version()
+    out = main(["--log-dir", upd, "--table", root,
+                "--checkpoint", str(tmp_path / "ckpt"), "--stream",
+                "--branch", "audit"])
+    assert out["mode"] == "stream" and out["branch"] == "audit"
+    assert t.current_version() == v_seed          # main untouched
+    main(["--table", root, "--maintain", "--fast-forward", "audit"])
+
+    ctl_root = str(tmp_path / "ctl")
+    main(["--log-dir", seed, "--table", ctl_root])
+    main(["--log-dir", upd, "--table", ctl_root,
+          "--checkpoint", str(tmp_path / "ckpt2"), "--stream"])
+    ctl = LakeTable(spark, ctl_root)
+    assert ({r["url"]: r["text"] for r in t.read().collect()}
+            == {r["url"]: r["text"] for r in ctl.read().collect()})
