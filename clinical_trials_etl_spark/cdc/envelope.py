@@ -186,6 +186,38 @@ def publish_envelope_window(source: LakeTable, out_dir: str) -> dict | None:
 # ----------------------------------------------- consuming (inbound)
 
 
+def _envelope_schema(target: LakeTable) -> T.StructType:
+    payload_t = T.StructType(
+        [T.StructField(f["name"], _spark_type(f["type"]))
+         for f in target.fields()])
+    return T.StructType([
+        T.StructField("before", payload_t),
+        T.StructField("after", payload_t),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("source", T.StructType([
+            T.StructField("table", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("version", T.LongType()),
+        ])),
+    ])
+
+
+def _envelopes_to_batch(df: DataFrame) -> DataFrame:
+    """Envelope rows -> the (payload, lsn, op) shape LakeTable.merge
+    consumes. Deletes carry the pre-image (publish-side convention);
+    the tombstone ties that LSN and wins the tie by the shared
+    (lsn, deleted) rule."""
+    img = F.coalesce(F.col("after"), F.col("before")).alias("_img")
+    return df.select(
+        img,
+        F.col("source.lsn").alias("lsn"),
+        F.when(F.col("op") == "d", F.lit("D"))
+        .when(F.col("op") == "c", F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+    ).select("_img.*", "lsn", "op")
+
+
 def apply_envelopes(target: LakeTable, env_dir: str,
                     mode: str = "cow") -> dict:
     """Apply every complete, not-yet-applied envelope window under
@@ -209,21 +241,7 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     target's current schema — when the source evolved mid-history,
     evolve the target (cdc/registry ops) before applying the windows
     that follow the change."""
-    fields = target.fields()
-    key = target.key_field()
-    payload_t = T.StructType(
-        [T.StructField(f["name"], _spark_type(f["type"])) for f in fields])
-    env_schema = T.StructType([
-        T.StructField("before", payload_t),
-        T.StructField("after", payload_t),
-        T.StructField("op", T.StringType()),
-        T.StructField("ts_ms", T.LongType()),
-        T.StructField("source", T.StructType([
-            T.StructField("table", T.StringType()),
-            T.StructField("lsn", T.LongType()),
-            T.StructField("version", T.LongType()),
-        ])),
-    ])
+    env_schema = _envelope_schema(target)
 
     applied_hwm = int(target.snapshot()["batch_hwm"].get("env-", -1))
     windows = []
@@ -240,14 +258,7 @@ def apply_envelopes(target: LakeTable, env_dir: str,
             continue
         df = target.spark.read.schema(env_schema).json(
             os.path.join(env_dir, fn))
-        img = F.coalesce(F.col("after"), F.col("before")).alias("_img")
-        batch = df.select(
-            img,
-            F.col("source.lsn").alias("lsn"),
-            F.when(F.col("op") == "d", F.lit("D"))
-            .when(F.col("op") == "c", F.lit("I"))
-            .otherwise(F.lit("U")).alias("op"),
-        ).select("_img.*", "lsn", "op")
+        batch = _envelopes_to_batch(df)
         res = target.merge(batch, batch_id=f"env-{b}", mode=mode,
                            lineage={"type_detail": "apply_envelopes",
                                     "window": fn})
@@ -257,3 +268,72 @@ def apply_envelopes(target: LakeTable, env_dir: str,
             "replica_version": target.current_version(),
             "applied_through": max(
                 [b for _a, b, _f in windows] + [applied_hwm])}
+
+
+def run_envelope_stream(
+    spark,
+    env_dir: str,
+    target: LakeTable,
+    checkpoint_dir: str,
+    mode: str = "cow",
+    max_files_per_trigger: int = 16,
+) -> dict:
+    """Tail the envelope topic with Structured Streaming — the
+    always-on twin of :func:`apply_envelopes` (which polls complete
+    windows): the replica converges continuously as the publisher
+    appends window directories, through nothing but shared object
+    storage.
+
+    A checkpointed file source watches ``env_dir/window-*`` (new
+    window directories are discovered by the per-trigger listing;
+    ``_SUCCESS`` markers are underscore-hidden from the reader) and
+    each micro-batch merges with ``batch_id="envstream-<epoch>"``
+    through the normal exactly-once foreachBatch contract.
+
+    Delivery here is at-least-once at ROW granularity rather than
+    window granularity — a crashed publish's partial part-files may be
+    read before the retry's (uniquely-named) replacements, and windows
+    may interleave across epochs — and that is SAFE by construction:
+    the merge folds every row through the keyed max-(lsn, deleted)
+    rule, which is order-insensitive and duplicate-idempotent, so the
+    replica converges to the source's live-row state no matter how the
+    file source slices the topic (same argument as the raw
+    ``changes(net=False)`` feed; pinned in tests/test_envelope.py).
+    The trade vs the window poller: convergence without polling and no
+    window-boundary latency, in exchange for transiently visible
+    mid-window states (each micro-batch is still one atomic commit).
+
+    Runs with ``availableNow`` semantics: processes everything
+    published so far, then returns (re-invoke on a cadence, or wrap in
+    a long-lived driver for continuous tailing — same deployment shape
+    as run_stream). Returns {epochs, replica_version, rows}."""
+    src = (
+        spark.readStream.schema(_envelope_schema(target))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(os.path.join(env_dir, "window-*"))
+    )
+    applied = {"n": 0}
+
+    def handle(batch_df, epoch_id: int):
+        res = target.merge(
+            _envelopes_to_batch(batch_df),
+            batch_id=f"envstream-{epoch_id}",
+            mode=mode,
+            lineage={"type_detail": "envelope_stream",
+                     "epoch": epoch_id},
+        )
+        if not res.get("skipped"):
+            applied["n"] += 1
+
+    query = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return {
+        "epochs": applied["n"],
+        "replica_version": target.current_version(),
+        "rows": target.read().count(),
+    }

@@ -269,15 +269,21 @@ def partitions_df(
 
 def refs_df(table: LakeTable) -> DataFrame:
     """Every named pointer into the snapshot chain: the current head,
-    immutable tags (retention pins), and staged write-audit-publish
-    candidates (their version is the BASE they were audited against —
-    they own no committed version until published)."""
+    immutable tags (retention pins), staged write-audit-publish
+    candidates, and branches (for both staged kinds the version is the
+    BASE they forked from / were audited against — they own no
+    committed main version until published)."""
     rows = [("current", "head", table.current_version())]
     rows += [(name, "tag", v) for name, v in sorted(table.tags().items())]
     rows += [
         (wap_id, "wap-staged", rec["base_version"])
         for wap_id, rec in sorted(table.staged().items())
     ]
+    if getattr(table, "branch_name", None) is None:
+        rows += [
+            (name, "branch", info["forked_at"])
+            for name, info in sorted(table.branches().items())
+        ]
     return table.spark.createDataFrame(rows, _REFS_SCHEMA)
 
 

@@ -652,3 +652,56 @@ def test_apply_envelopes_replicates_across_sites(spark, tmp_path):
     assert res3["windows_applied"] == 1
     assert live(rep) == live(src)
     assert ("u3", "c") not in live(rep)
+
+
+def test_envelope_stream_tails_topic_to_convergence(spark, tmp_path):
+    """The Structured-Streaming twin of apply_envelopes: a checkpointed
+    file source tails the window directories; every micro-batch merges
+    through the keyed max-(lsn, deleted) rule, so row-granular
+    at-least-once delivery (interleaved windows, re-published spans)
+    still converges the replica to the source's live state. Resuming
+    after new windows appear picks up ONLY the new files; re-running
+    with nothing new is a no-op."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        publish_envelope_window,
+        run_envelope_stream,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    ckpt = str(tmp_path / "ckpt")
+
+    def live(t):
+        return {(r["url"], r["val"]) for r in t.read().collect()}
+
+    src.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I"),
+                             ("u3", "c", 3, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u1", "a2", 10, "U"),
+                             ("u2", None, 11, "D")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    res = run_envelope_stream(spark, env, rep, ckpt,
+                              max_files_per_trigger=2)
+    assert res["epochs"] >= 1
+    assert live(rep) == live(src)
+
+    # no new windows: the resumed stream commits nothing
+    v = rep.current_version()
+    res2 = run_envelope_stream(spark, env, rep, ckpt)
+    assert res2["epochs"] == 0 and rep.current_version() == v
+
+    # new windows (including a delete) stream in incrementally off the
+    # same checkpoint
+    src.merge(_batch(spark, [("u4", "d", 20, "I")]), batch_id="e-3",
+              mode="delta")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u3", None, 40, "D")]), batch_id="e-4")
+    publish_envelope_window(src, env)
+    res3 = run_envelope_stream(spark, env, rep, ckpt)
+    assert res3["epochs"] >= 1
+    assert live(rep) == live(src)
+    assert ("u3", "c") not in live(rep)

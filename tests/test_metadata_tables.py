@@ -133,6 +133,13 @@ def test_refs_df_head_tag_and_staged_wap(spark, table):
     assert refs[("nightly", "wap-staged")] == table.current_version()
     table.abort_staged("nightly")
     assert md.refs_df(table).filter("type = 'wap-staged'").count() == 0
+    # branches list with their fork version and drop out cleanly
+    table.create_branch("audit")
+    refs = {(r["name"], r["type"]): r["version"]
+            for r in md.refs_df(table).collect()}
+    assert refs[("audit", "branch")] == table.current_version()
+    table.drop_branch("audit")
+    assert md.refs_df(table).filter("type = 'branch'").count() == 0
 
 
 def test_lineage_df_detail_preserved(spark, table):
