@@ -60,7 +60,15 @@ def changes_envelope(
     image) it is the deleted row's final pre-image LSN — the image
     feed's convention (a tombstone's own LSN is not an image).
     Consumers order by (ts_ms, source.version), which is total and
-    commit-accurate either way."""
+    commit-accurate either way.
+
+    ``source.schema_ver`` stamps the registry schema version the
+    payload is rendered at (the whole window renders at
+    ``to_version``'s schema, so one version describes it) — the
+    Debezium-schema-registry analog that lets a long-lived topic
+    outlive schema evolution: consumers parse each window at ITS
+    version and resolve renames/widens by field id
+    (see ``apply_envelopes``)."""
     cur = source.current_version()
     if to_version is None:
         to_version = cur
@@ -103,6 +111,7 @@ def changes_envelope(
         .when(F.col("_bef").isNull(), F.lit("c"))
         .otherwise(F.lit("u"))
     )
+    sver = source.registry_version(source.snapshot(to_version))
     return agg.select(
         F.col("_bef.p").alias("before"),
         F.when(F.col("_is_del"), F.lit(None)).otherwise(F.col("_aft.p"))
@@ -113,6 +122,7 @@ def changes_envelope(
             F.lit(source.root).alias("table"),
             F.coalesce(F.col("_aft.lsn"), F.col("_bef.lsn")).alias("lsn"),
             F.col("_commit_version").alias("version"),
+            F.lit(sver).cast("long").alias("schema_ver"),
         ).alias("source"),
     )
 
@@ -186,10 +196,10 @@ def publish_envelope_window(source: LakeTable, out_dir: str) -> dict | None:
 # ----------------------------------------------- consuming (inbound)
 
 
-def _envelope_schema(target: LakeTable) -> T.StructType:
+def _envelope_schema_for(fields: list[dict]) -> T.StructType:
     payload_t = T.StructType(
         [T.StructField(f["name"], _spark_type(f["type"]))
-         for f in target.fields()])
+         for f in fields])
     return T.StructType([
         T.StructField("before", payload_t),
         T.StructField("after", payload_t),
@@ -199,8 +209,37 @@ def _envelope_schema(target: LakeTable) -> T.StructType:
             T.StructField("table", T.StringType()),
             T.StructField("lsn", T.LongType()),
             T.StructField("version", T.LongType()),
+            T.StructField("schema_ver", T.LongType()),
         ])),
     ])
+
+
+def _envelope_schema(target: LakeTable) -> T.StructType:
+    return _envelope_schema_for(target.fields())
+
+
+_SLIM_VER_SCHEMA = T.StructType([T.StructField("source", T.StructType(
+    [T.StructField("schema_ver", T.LongType())]))])
+
+
+def _window_schema_ver(spark, path: str) -> int | None:
+    """The registry schema version a window was published at (None for
+    windows written before stamping existed). One slim column crosses
+    the scan."""
+    v = (spark.read.schema(_SLIM_VER_SCHEMA).json(path)
+         .agg(F.max("source.schema_ver")).first()[0])
+    return None if v is None else int(v)
+
+
+def _evolve_to_ver(target: LakeTable, ver: int, registry: dict | None):
+    from clinical_trials_etl_spark.cdc import registry as reg
+
+    cur = target.fields()
+    ops = reg.diff(cur, reg.schema_for_version(ver, registry))
+    if ops:
+        target.evolve(reg.apply_ops(cur, ops),
+                      note=f"registry v{ver} via envelope topic: {ops}",
+                      registry_ver=ver)
 
 
 def _envelopes_to_batch(df: DataFrame) -> DataFrame:
@@ -219,7 +258,8 @@ def _envelopes_to_batch(df: DataFrame) -> DataFrame:
 
 
 def apply_envelopes(target: LakeTable, env_dir: str,
-                    mode: str = "cow") -> dict:
+                    mode: str = "cow",
+                    registry: dict | None = None) -> dict:
     """Apply every complete, not-yet-applied envelope window under
     ``env_dir`` to ``target``, in window order — the consumer half of
     the publish protocol, replicating a table across sites through
@@ -237,12 +277,19 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     convention); the replica's tombstone ties that LSN and wins the
     tie by the shared (lsn, deleted) rule, so live-row state converges
     to the source's even though replica tombstone LSNs are not
-    byte-identical to the source's. The payload must match the
-    target's current schema — when the source evolved mid-history,
-    evolve the target (cdc/registry ops) before applying the windows
-    that follow the change."""
-    env_schema = _envelope_schema(target)
+    byte-identical to the source's.
 
+    Schema evolution mid-topic is registry-driven (Debezium's
+    schema-registry role, played by ``cdc/registry``): each window is
+    PARSED at the schema version it was published at
+    (``source.schema_ver``), the replica is evolved forward when a
+    window is ahead of it, and the parsed payload is projected onto
+    the replica's current columns BY FIELD ID — renames resolve to the
+    current name, widens cast up, fields added after the window fill
+    null. Windows stamped at the replica's own version (and legacy
+    unstamped windows) take the fast path: parsed directly at the
+    current schema. Non-registry (ad-hoc) evolution keeps the old
+    contract: evolve the replica manually before applying."""
     applied_hwm = int(target.snapshot()["batch_hwm"].get("env-", -1))
     windows = []
     if os.path.isdir(env_dir):
@@ -256,12 +303,37 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     for a, b, fn in windows:
         if b <= applied_hwm:
             continue
-        df = target.spark.read.schema(env_schema).json(
-            os.path.join(env_dir, fn))
+        path = os.path.join(env_dir, fn)
+        ver = _window_schema_ver(target.spark, path)
+        tver = target.registry_version(registry=registry)
+        if ver is not None and ver != tver:
+            from clinical_trials_etl_spark.cdc import registry as reg
+
+            if ver > tver:
+                _evolve_to_ver(target, ver, registry)
+            wfields = reg.schema_for_version(ver, registry)
+        else:
+            wfields = target.fields()
+        df = target.spark.read.schema(_envelope_schema_for(wfields)) \
+            .json(path)
         batch = _envelopes_to_batch(df)
+        # project onto the replica's CURRENT columns by field id:
+        # renames resolve, widens cast up, later-added fields are null
+        w_by_id = {f["id"]: f for f in wfields}
+        batch = batch.select(
+            *[
+                (F.col(w_by_id[f["id"]]["name"])
+                 if f["id"] in w_by_id else F.lit(None))
+                .cast(_spark_type(f["type"])).alias(f["name"])
+                for f in target.fields()
+            ],
+            "lsn", "op",
+        )
         res = target.merge(batch, batch_id=f"env-{b}", mode=mode,
                            lineage={"type_detail": "apply_envelopes",
-                                    "window": fn})
+                                    "window": fn,
+                                    **({"schema_ver": ver}
+                                       if ver is not None else {})})
         if not res.get("skipped"):
             applied += 1
     return {"windows_applied": applied,
@@ -277,6 +349,7 @@ def run_envelope_stream(
     checkpoint_dir: str,
     mode: str = "cow",
     max_files_per_trigger: int = 16,
+    registry: dict | None = None,
 ) -> dict:
     """Tail the envelope topic with Structured Streaming — the
     always-on twin of :func:`apply_envelopes` (which polls complete
@@ -306,32 +379,80 @@ def run_envelope_stream(
     Runs with ``availableNow`` semantics: processes everything
     published so far, then returns (re-invoke on a cadence, or wrap in
     a long-lived driver for continuous tailing — same deployment shape
-    as run_stream). Returns {epochs, replica_version, rows}."""
-    src = (
-        spark.readStream.schema(_envelope_schema(target))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .json(os.path.join(env_dir, "window-*"))
-    )
+    as run_stream). Returns {epochs, replica_version, rows}.
+
+    Schema evolution mid-topic: the file source's read schema is fixed
+    per invocation (the replica's current fields), so an epoch whose
+    max ``source.schema_ver`` is AHEAD of the replica raises before
+    merging (offsets un-checkpointed), the replica is evolved forward
+    through the registry, and the stream restarts — the re-delivered
+    epoch re-parses at the evolved schema, losslessly. A window BEHIND
+    the replica is fine as long as no rename/widen separates the two
+    versions (json parses missing added fields as null, which is
+    correct); when one does, the fixed read schema would silently null
+    the renamed column, so the stream refuses and points at the
+    window-granular poller (``apply_envelopes``), which parses per
+    window version."""
     applied = {"n": 0}
 
-    def handle(batch_df, epoch_id: int):
-        res = target.merge(
-            _envelopes_to_batch(batch_df),
-            batch_id=f"envstream-{epoch_id}",
-            mode=mode,
-            lineage={"type_detail": "envelope_stream",
-                     "epoch": epoch_id},
-        )
-        if not res.get("skipped"):
-            applied["n"] += 1
+    while True:
+        tver = target.registry_version(registry=registry)
+        ahead: dict[str, int] = {}
 
-    query = (
-        src.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        def handle(batch_df, epoch_id: int):
+            vs = batch_df.agg(
+                F.min("source.schema_ver"), F.max("source.schema_ver")
+            ).first()
+            mn = None if vs[0] is None else int(vs[0])
+            mx = None if vs[1] is None else int(vs[1])
+            if mx is not None and mx > tver:
+                # parsed at an older schema — do NOT merge; evolve and
+                # re-deliver (offsets for this epoch never checkpoint)
+                ahead["ver"] = mx
+                raise RuntimeError(f"envelope schema_ver {mx} ahead of "
+                                   f"replica v{tver}")
+            if mn is not None and mn < tver:
+                from clinical_trials_etl_spark.cdc import registry as reg
+
+                lossy = [o for o in reg.diff(
+                    reg.schema_for_version(mn, registry),
+                    reg.schema_for_version(tver, registry))
+                    if o["op"] in ("rename", "widen")]
+                if lossy:
+                    raise ValueError(
+                        f"window published at schema_ver {mn} and a "
+                        f"rename/widen separates it from the replica's "
+                        f"v{tver} — the fixed streaming read schema "
+                        f"cannot parse it losslessly; apply history "
+                        f"with apply_envelopes (per-window schemas), "
+                        f"then stream from there")
+            res = target.merge(
+                _envelopes_to_batch(batch_df),
+                batch_id=f"envstream-{epoch_id}",
+                mode=mode,
+                lineage={"type_detail": "envelope_stream",
+                         "epoch": epoch_id},
+            )
+            if not res.get("skipped"):
+                applied["n"] += 1
+
+        query = (
+            spark.readStream.schema(_envelope_schema(target))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(os.path.join(env_dir, "window-*"))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        except Exception:
+            if "ver" in ahead:
+                _evolve_to_ver(target, ahead["ver"], registry)
+                continue  # restart; the epoch re-parses evolved
+            raise
+        break
     return {
         "epochs": applied["n"],
         "replica_version": target.current_version(),

@@ -137,6 +137,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refresh-views-every", type=int, default=None,
                    help="(--stream) advance every --view each N "
                         "applied epochs (default 4 when --view given)")
+    p.add_argument("--consume-envelopes", default=None, metavar="DIR",
+                   dest="consume_envelopes",
+                   help="run as the REPLICA site: apply the envelope "
+                        "topic under DIR to --table instead of "
+                        "ingesting a WAL. With --stream (requires "
+                        "--checkpoint) a Structured Streaming file "
+                        "source tails the window dirs; without it the "
+                        "window poller applies complete windows "
+                        "exactly-once. The table must exist (replicas "
+                        "are created from a snapshot bootstrap or an "
+                        "empty create matching the source schema)")
     p.add_argument("--batch-prefix", default="replay",
                    help="(batch replay) idempotence-id prefix for this "
                         "pass ('{prefix}-{segment}'). Distinct replay "
@@ -265,6 +276,42 @@ def main(argv: list[str] | None = None) -> dict:
         if views is not None:
             result["views"] = views
         result["version"] = table.current_version()
+        print(json.dumps(result))
+        return result
+
+    if args.consume_envelopes:
+        if args.log_dir or args.branch:
+            raise SystemExit("--consume-envelopes is exclusive with "
+                             "--log-dir/--branch (a replica site only "
+                             "reads the topic)")
+        if not os.path.exists(os.path.join(args.table, "_meta",
+                                           "_current")):
+            raise SystemExit("--consume-envelopes needs an existing "
+                             "--table (bootstrap the replica first)")
+        table = LakeTable(spark, args.table)
+        if args.stream:
+            if not args.checkpoint:
+                raise SystemExit("--consume-envelopes --stream "
+                                 "requires --checkpoint")
+            from clinical_trials_etl_spark.cdc.envelope import \
+                run_envelope_stream
+
+            result = {"mode": "consume-stream",
+                      **run_envelope_stream(
+                          spark, args.consume_envelopes, table,
+                          args.checkpoint,
+                          mode=args.merge_mode or "cow")}
+        else:
+            from clinical_trials_etl_spark.cdc.envelope import \
+                apply_envelopes
+
+            result = {"mode": "consume",
+                      **apply_envelopes(
+                          table, args.consume_envelopes,
+                          mode=args.merge_mode or "cow")}
+        views = _refresh_views(table)
+        if views is not None:
+            result["views"] = views
         print(json.dumps(result))
         return result
 

@@ -705,3 +705,120 @@ def test_envelope_stream_tails_topic_to_convergence(spark, tmp_path):
     assert res3["epochs"] >= 1
     assert live(rep) == live(src)
     assert ("u3", "c") not in live(rep)
+
+
+def test_apply_envelopes_evolves_replica_mid_topic(spark, tmp_path):
+    """Long-lived topics outlive schema versions: windows are parsed
+    at the schema they were PUBLISHED at (source.schema_ver), the
+    replica auto-evolves forward through the registry, and payloads
+    project onto current columns by field id — so a replica created at
+    v1 converges across a topic spanning the full v1->v4 ramp
+    (renames, adds, widens) with no manual evolution step."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        publish_envelope_window,
+    )
+    from clinical_trials_etl_spark.cdc.replay import (
+        create_pages_table,
+        replay,
+    )
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+
+    env = str(tmp_path / "env")
+    log1 = str(tmp_path / "log1")
+    write_changelog_segments(
+        spark, LogSpec(n_events=600, n_hosts=10, paths_per_host=30,
+                       seed=3, n_schema_versions=1), log1, n_segments=2)
+    src = replay(spark, log1, str(tmp_path / "src"))
+    assert src.registry_version() == 1
+    publish_envelope_window(src, env)          # stamped schema_ver 1
+
+    log2 = str(tmp_path / "log2")
+    write_changelog_segments(
+        spark, LogSpec(n_events=600, n_hosts=10, paths_per_host=30,
+                       seed=5, n_schema_versions=4, lsn_offset=2400),
+        log2, n_segments=2)
+    replay(spark, log2, str(tmp_path / "src"), batch_prefix="upd")
+    assert src.registry_version() == 4
+    publish_envelope_window(src, env)          # stamped schema_ver 4
+
+    rep = create_pages_table(spark, str(tmp_path / "rep"), n_buckets=8)
+    assert rep.registry_version() == 1
+    res = apply_envelopes(rep, env)
+    assert res["windows_applied"] == 2
+    assert rep.registry_version() == 4         # auto-evolved
+    cols = sorted(f["name"] for f in src.fields())
+    assert sorted(f["name"] for f in rep.fields()) == cols
+
+    def live(t):
+        return {r["url"]: tuple(r[c] for c in cols)
+                for r in t.read().collect()}
+
+    assert live(rep) == live(src)
+
+
+def test_envelope_stream_evolves_forward_and_refuses_lossy_past(
+    spark, tmp_path
+):
+    """The streaming consumer's schema contract: an epoch AHEAD of the
+    replica evolves it and restarts (re-parsed losslessly); a window
+    BEHIND the replica across a rename refuses with a pointer to the
+    per-window poller instead of silently nulling the renamed column."""
+    import pytest
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        _evolve_to_ver,
+        publish_envelope_window,
+        run_envelope_stream,
+    )
+    from clinical_trials_etl_spark.cdc.replay import (
+        create_pages_table,
+        replay,
+    )
+    from clinical_trials_etl_spark.datagen.changelog import (
+        LogSpec,
+        write_changelog_segments,
+    )
+
+    env = str(tmp_path / "env")
+    log1 = str(tmp_path / "log1")
+    write_changelog_segments(
+        spark, LogSpec(n_events=600, n_hosts=10, paths_per_host=30,
+                       seed=3, n_schema_versions=1), log1, n_segments=2)
+    src = replay(spark, log1, str(tmp_path / "src"))
+    publish_envelope_window(src, env)          # v1 window
+
+    rep = create_pages_table(spark, str(tmp_path / "rep"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    run_envelope_stream(spark, env, rep, ckpt)  # v1 topic, v1 replica
+
+    log2 = str(tmp_path / "log2")
+    write_changelog_segments(
+        spark, LogSpec(n_events=600, n_hosts=10, paths_per_host=30,
+                       seed=5, n_schema_versions=4, lsn_offset=2400),
+        log2, n_segments=2)
+    replay(spark, log2, str(tmp_path / "src"), batch_prefix="upd")
+    publish_envelope_window(src, env)          # v4 window
+
+    # ahead: evolve + restart + converge, same checkpoint
+    res = run_envelope_stream(spark, env, rep, ckpt)
+    assert res["epochs"] >= 1
+    assert rep.registry_version() == 4
+    cols = sorted(f["name"] for f in src.fields())
+
+    def live(t):
+        return {r["url"]: tuple(r[c] for c in cols)
+                for r in t.read().collect()}
+
+    assert live(rep) == live(src)
+
+    # behind across a rename: a FRESH v4 replica streaming the topic
+    # from scratch hits the v1 window and must refuse, not null it
+    rep2 = create_pages_table(spark, str(tmp_path / "rep2"), n_buckets=8)
+    _evolve_to_ver(rep2, 4, None)
+    with pytest.raises(Exception, match="apply_envelopes"):
+        run_envelope_stream(spark, env, rep2, str(tmp_path / "ckpt2"),
+                            max_files_per_trigger=100)

@@ -279,3 +279,64 @@ def test_job_stream_into_branch_then_publish(spark, tmp_path):
     ctl = LakeTable(spark, ctl_root)
     assert ({r["url"]: r["text"] for r in t.read().collect()}
             == {r["url"]: r["text"] for r in ctl.read().collect()})
+
+
+def test_job_consume_envelopes_replica_site(spark, tmp_path):
+    """--consume-envelopes: the replica site as its own spark-submit
+    invocation — poller mode applies complete windows exactly-once;
+    --stream tails the topic off a checkpoint; both converge to the
+    source's live state."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        publish_envelope_window,
+    )
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    fields = [{"id": 1, "name": "url", "type": "string"},
+              {"id": 2, "name": "val", "type": "string"}]
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url string, val string, lsn long, op string")
+
+    def live(t):
+        return {(r["url"], r["val"]) for r in t.read().collect()}
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), fields, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(batch([("u1", "a", 1, "I"), ("u2", "b", 2, "I")]),
+              batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(batch([("u1", "a2", 10, "U"), ("u2", None, 11, "D")]),
+              batch_id="e-2")
+    publish_envelope_window(src, env)
+
+    # poller replica
+    rep1 = str(tmp_path / "rep1")
+    LakeTable.create(spark, rep1, fields, "url", n_buckets=4)
+    out = main(["--table", rep1, "--consume-envelopes", env])
+    assert out["mode"] == "consume" and out["windows_applied"] == 2
+    assert live(LakeTable(spark, rep1)) == live(src)
+
+    # streaming replica off a checkpoint; a later window streams in on
+    # the next invocation
+    rep2 = str(tmp_path / "rep2")
+    LakeTable.create(spark, rep2, fields, "url", n_buckets=4)
+    out = main(["--table", rep2, "--consume-envelopes", env,
+                "--checkpoint", str(tmp_path / "ckpt"), "--stream"])
+    assert out["mode"] == "consume-stream" and out["epochs"] >= 1
+    assert live(LakeTable(spark, rep2)) == live(src)
+    src.merge(batch([("u3", "c", 20, "I")]), batch_id="e-3")
+    publish_envelope_window(src, env)
+    out = main(["--table", rep2, "--consume-envelopes", env,
+                "--checkpoint", str(tmp_path / "ckpt"), "--stream"])
+    assert live(LakeTable(spark, rep2)) == live(src)
+
+    # guardrails
+    import pytest
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(["--table", rep1, "--consume-envelopes", env,
+              "--log-dir", env])
+    with pytest.raises(SystemExit, match="existing"):
+        main(["--table", str(tmp_path / "nope"),
+              "--consume-envelopes", env])
