@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -242,6 +243,33 @@ def _evolve_to_ver(target: LakeTable, ver: int, registry: dict | None):
                       registry_ver=ver)
 
 
+_CORRUPT = "_corrupt_envelope"
+
+
+def _read_window_split(spark, path, wfields: list[dict], key: str):
+    """Read a window's JSONL with a dead-letter split: returns
+    (good_df, bad_df). Bad = lines that failed JSON parsing
+    (PERMISSIVE mode routes them to the corrupt-record column instead
+    of nulling silently or failing the whole window) plus
+    schema-valid-but-semantically-broken envelopes (no op, no lsn, or
+    a null key in both images) — rows that would otherwise merge a
+    null-key row into the replica. ``bad_df`` carries the raw line
+    when available."""
+    schema = _envelope_schema_for(wfields).add(_CORRUPT, T.StringType())
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", _CORRUPT)
+          .json(path))
+    bad_pred = (
+        F.col(_CORRUPT).isNotNull()
+        | F.col("op").isNull()
+        | F.col("source.lsn").isNull()
+        | (F.col(f"after.{key}").isNull()
+           & F.col(f"before.{key}").isNull())
+    )
+    return df.filter(~bad_pred).drop(_CORRUPT), df.filter(bad_pred)
+
+
 def _envelopes_to_batch(df: DataFrame) -> DataFrame:
     """Envelope rows -> the (payload, lsn, op) shape LakeTable.merge
     consumes. Deletes carry the pre-image (publish-side convention);
@@ -259,7 +287,8 @@ def _envelopes_to_batch(df: DataFrame) -> DataFrame:
 
 def apply_envelopes(target: LakeTable, env_dir: str,
                     mode: str = "cow",
-                    registry: dict | None = None) -> dict:
+                    registry: dict | None = None,
+                    quarantine_dir: str | None = None) -> dict:
     """Apply every complete, not-yet-applied envelope window under
     ``env_dir`` to ``target``, in window order — the consumer half of
     the publish protocol, replicating a table across sites through
@@ -289,7 +318,16 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     null. Windows stamped at the replica's own version (and legacy
     unstamped windows) take the fast path: parsed directly at the
     current schema. Non-registry (ad-hoc) evolution keeps the old
-    contract: evolve the replica manually before applying."""
+    contract: evolve the replica manually before applying.
+
+    Malformed lines (truncated uploads, bit rot — topics cross sites
+    on object storage) dead-letter instead of poisoning the replica:
+    unparseable JSON and semantically broken envelopes (no op/lsn,
+    null key in both images) are counted per window, written under
+    ``quarantine_dir`` when given (raw lines preserved for forensics),
+    and excluded from the merge — the window still applies and the
+    offset still advances (quarantine is visible in the result and the
+    commit lineage, so the gap is auditable, not silent)."""
     applied_hwm = int(target.snapshot()["batch_hwm"].get("env-", -1))
     windows = []
     if os.path.isdir(env_dir):
@@ -300,6 +338,7 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     windows.sort()
 
     applied = 0
+    quarantined = 0
     for a, b, fn in windows:
         if b <= applied_hwm:
             continue
@@ -314,8 +353,13 @@ def apply_envelopes(target: LakeTable, env_dir: str,
             wfields = reg.schema_for_version(ver, registry)
         else:
             wfields = target.fields()
-        df = target.spark.read.schema(_envelope_schema_for(wfields)) \
-            .json(path)
+        key = target.key_field()
+        df, bad = _read_window_split(target.spark, path, wfields, key)
+        n_bad = bad.count()
+        if n_bad and quarantine_dir:
+            bad.write.mode("append").json(
+                os.path.join(quarantine_dir, fn))
+        quarantined += n_bad
         batch = _envelopes_to_batch(df)
         # project onto the replica's CURRENT columns by field id:
         # renames resolve, widens cast up, later-added fields are null
@@ -332,11 +376,14 @@ def apply_envelopes(target: LakeTable, env_dir: str,
         res = target.merge(batch, batch_id=f"env-{b}", mode=mode,
                            lineage={"type_detail": "apply_envelopes",
                                     "window": fn,
+                                    **({"quarantined": n_bad}
+                                       if n_bad else {}),
                                     **({"schema_ver": ver}
                                        if ver is not None else {})})
         if not res.get("skipped"):
             applied += 1
     return {"windows_applied": applied,
+            "quarantined": quarantined,
             "replica_version": target.current_version(),
             "applied_through": max(
                 [b for _a, b, _f in windows] + [applied_hwm])}
@@ -350,6 +397,7 @@ def run_envelope_stream(
     mode: str = "cow",
     max_files_per_trigger: int = 16,
     registry: dict | None = None,
+    quarantine_dir: str | None = None,
 ) -> dict:
     """Tail the envelope topic with Structured Streaming — the
     always-on twin of :func:`apply_envelopes` (which polls complete
@@ -392,14 +440,40 @@ def run_envelope_stream(
     correct); when one does, the fixed read schema would silently null
     the renamed column, so the stream refuses and points at the
     window-granular poller (``apply_envelopes``), which parses per
-    window version."""
-    applied = {"n": 0}
+    window version.
+
+    Malformed lines dead-letter exactly as in the poller: counted,
+    optionally appended under ``quarantine_dir`` (at-least-once across
+    epoch retries — forensics, not state), and excluded from the merge
+    so corruption neither fails the epoch nor plants null-key rows."""
+    applied = {"n": 0, "quarantined": 0}
 
     while True:
         tver = target.registry_version(registry=registry)
         ahead: dict[str, int] = {}
+        key = target.key_field()
 
         def handle(batch_df, epoch_id: int):
+            # dead-letter split first (same predicate as the poller):
+            # a malformed line must neither fail the epoch nor merge a
+            # null-key row. Quarantine appends are at-least-once under
+            # epoch retries — forensic data, not state.
+            bad_pred = (
+                F.col(_CORRUPT).isNotNull()
+                | F.col("op").isNull()
+                | F.col("source.lsn").isNull()
+                | (F.col(f"after.{key}").isNull()
+                   & F.col(f"before.{key}").isNull())
+            )
+            bad = batch_df.filter(bad_pred)
+            n_bad = bad.count()
+            if n_bad:
+                applied["quarantined"] += n_bad
+                if quarantine_dir:
+                    bad.write.mode("append").json(
+                        os.path.join(quarantine_dir,
+                                     f"epoch-{epoch_id}"))
+            batch_df = batch_df.filter(~bad_pred).drop(_CORRUPT)
             vs = batch_df.agg(
                 F.min("source.schema_ver"), F.max("source.schema_ver")
             ).first()
@@ -437,7 +511,10 @@ def run_envelope_stream(
                 applied["n"] += 1
 
         query = (
-            spark.readStream.schema(_envelope_schema(target))
+            spark.readStream
+            .schema(_envelope_schema(target).add(_CORRUPT, T.StringType()))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .json(os.path.join(env_dir, "window-*"))
             .writeStream.foreachBatch(handle)
@@ -455,6 +532,43 @@ def run_envelope_stream(
         break
     return {
         "epochs": applied["n"],
+        "quarantined": applied["quarantined"],
         "replica_version": target.current_version(),
         "rows": target.read().count(),
     }
+
+
+def expire_envelope_windows(out_dir: str,
+                            keep_after_version: int) -> dict:
+    """Topic retention: delete complete windows whose span ends at or
+    before ``keep_after_version`` (Kafka segment retention's role).
+    The caller picks the low-water mark from its consumers — e.g. the
+    min of every replica's ``applied_through`` / stream checkpoint
+    position; a conservative deployment keeps
+    ``source.current_version() - N``.
+
+    Only COMPLETE windows (with ``_SUCCESS``) are swept — an
+    in-flight publish is never raced — and ``last_published`` keeps
+    returning the high-water mark afterwards because retention only
+    removes the PREFIX of the window sequence: the newest windows
+    stay. A late consumer that lost its prefix must re-bootstrap from
+    a snapshot (``cdc/bootstrap.py``) and tail from there — the same
+    contract as any log-compacted topic."""
+    removed = 0
+    kept = 0
+    if not os.path.isdir(out_dir):
+        return {"removed_windows": 0, "kept_windows": 0}
+    for fn in sorted(os.listdir(out_dir)):
+        m = _WINDOW_RE.match(fn)
+        if not m:
+            continue
+        path = os.path.join(out_dir, fn)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            kept += 1
+            continue
+        if int(m.group(2)) <= keep_after_version:
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+        else:
+            kept += 1
+    return {"removed_windows": removed, "kept_windows": kept}

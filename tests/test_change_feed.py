@@ -822,3 +822,97 @@ def test_envelope_stream_evolves_forward_and_refuses_lossy_past(
     with pytest.raises(Exception, match="apply_envelopes"):
         run_envelope_stream(spark, env, rep2, str(tmp_path / "ckpt2"),
                             max_files_per_trigger=100)
+
+
+def test_expire_envelope_windows_topic_retention(spark, tmp_path):
+    """Topic retention sweeps only the complete prefix at or below the
+    consumer low-water mark; the high-water offset and every newer
+    window survive, and a caught-up consumer is unaffected."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        expire_envelope_windows,
+        last_published,
+        publish_envelope_window,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    for i, rows in enumerate([[("u1", "a", 1, "I")],
+                              [("u2", "b", 2, "I")],
+                              [("u1", "a2", 10, "U")]]):
+        src.merge(_batch(spark, rows), batch_id=f"e-{i}")
+        publish_envelope_window(src, env)
+    hwm = last_published(env)
+
+    # replica caught up through window 2; retention to its low-water
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    applied = apply_envelopes(rep, env)
+    res = expire_envelope_windows(env, keep_after_version=2)
+    assert res["removed_windows"] == 2 and res["kept_windows"] == 1
+    assert last_published(env) == hwm          # offset preserved
+    # caught-up consumer: re-apply is still a clean no-op
+    res2 = apply_envelopes(rep, env)
+    assert res2["windows_applied"] == 0
+    assert applied["replica_version"] == rep.current_version()
+    assert ({(r["url"], r["val"]) for r in rep.read().collect()}
+            == {(r["url"], r["val"]) for r in src.read().collect()})
+
+
+def test_envelope_consumers_quarantine_malformed_lines(spark, tmp_path):
+    """Dead-letter path: unparseable JSON and semantically broken
+    envelopes (no op / no lsn / null key in both images) are counted
+    and quarantined instead of failing the window or merging null-key
+    rows; both consumers still converge on the valid lines."""
+    import json as _json
+    import os as _os
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        publish_envelope_window,
+        run_envelope_stream,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I")]),
+              batch_id="e-1")
+    publish_envelope_window(src, env)
+    wdir = next(d for d in _os.listdir(env) if d.startswith("window-"))
+    # a topic file gone bad: one truncated line, one op-less envelope,
+    # one null-key envelope, one good late-arriving line
+    good = {"before": None, "after": {"url": "u9", "val": "z"},
+            "op": "c", "ts_ms": 1,
+            "source": {"table": "t", "lsn": 9, "version": 1,
+                       "schema_ver": 1}}
+    no_op = {**good, "op": None,
+             "after": {"url": "u8", "val": "y"}}
+    null_key = {**good, "after": {"url": None, "val": "x"}}
+    with open(_os.path.join(env, wdir, "part-zz-corrupt.json"), "w") as f:
+        f.write('{"before": TRUNCATED GARB\n')
+        f.write(_json.dumps(no_op) + "\n")
+        f.write(_json.dumps(null_key) + "\n")
+        f.write(_json.dumps(good) + "\n")
+
+    q = str(tmp_path / "quarantine")
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    res = apply_envelopes(rep, env, quarantine_dir=q)
+    assert res["quarantined"] == 3
+    got = {(r["url"], r["val"]) for r in rep.read().collect()}
+    assert got == {("u1", "a"), ("u2", "b"), ("u9", "z")}
+    # raw lines preserved for forensics
+    qrows = spark.read.text(_os.path.join(q, wdir)).count()
+    assert qrows >= 1
+
+    # streaming consumer: same split, same convergence
+    rep2 = LakeTable.create(spark, str(tmp_path / "rep2"), FIELDS,
+                            "url", n_buckets=4)
+    res2 = run_envelope_stream(spark, env, rep2,
+                               str(tmp_path / "ckpt"),
+                               quarantine_dir=str(tmp_path / "q2"))
+    assert res2["quarantined"] == 3
+    assert ({(r["url"], r["val"]) for r in rep2.read().collect()}
+            == got)
