@@ -705,11 +705,20 @@ class LakeTable:
         snapshot IS the branch head's state — manifests adopted by
         hard link into main's metadata dir, schema/bucket layout and
         the exactly-once ledger carried over (epochs the branch
-        absorbed are no-ops if re-delivered to main). Requires main
-        to still be at the fork point: the branch's commits (and any
-        audit over its state) assumed that exact base, so an
-        intervening main commit raises CommitConflict — re-branch on
-        the new state (same ancestry guard as ``publish_staged``).
+        absorbed are no-ops if re-delivered to main). Requires main's
+        LOGICAL state to still be the fork point's: an intervening
+        ingest-class commit (merge/fast_forward), rollback, or
+        rebucket raises CommitConflict — re-branch on the new state
+        (the ``publish_staged`` ancestry guard). LAYOUT-ONLY movement
+        — compaction commits (snapshot expiry and orphan GC don't
+        commit at all) — REBASES instead of conflicting: the
+        out-of-band maintenance job beside an open audit branch is
+        sanctioned, a compaction doesn't invalidate the audit, and
+        retention kept the fork-era files alive because the branch
+        references them (untouched buckets re-point at those files;
+        the maintenance cadence re-compacts after the publish). A
+        schema evolution on main conflicts too — adopting the head's
+        fork-era schema would silently undo it.
 
         The published commit's manifest is the NET file diff vs the
         fork base, so downstream incremental consumers (``changes``/
@@ -742,11 +751,40 @@ class LakeTable:
                     "version": self.current_version()}
         cur = self.current_version()
         if cur != base_version:
-            raise CommitConflict(
-                f"branch {name!r} forked at v{base_version} but the "
-                f"table is at v{cur} — its commits (and any audit "
-                f"over them) assumed that exact base; re-create the "
-                f"branch on the current state")
+            # Rebase over LAYOUT-ONLY main movement (the same
+            # whitelist doctrine as _rebase_delta_merge_base): the
+            # out-of-band maintenance job beside an open audit branch
+            # is a sanctioned deployment, and a compaction changes
+            # layout, not logical state — publishing the branch head
+            # on top of it is still exactly "the audited state"
+            # (untouched buckets re-point at the fork-era files,
+            # which retention kept alive BECAUSE the branch
+            # references them; max-LSN reads make the layouts
+            # row-identical, and the maintenance cadence re-compacts).
+            # A rival MERGE/fast_forward absorbed events the audit
+            # never saw; a rebucket renumbered the buckets the branch
+            # head's manifests are keyed by; a rollback changed state;
+            # a schema evolution on main would be silently UNDONE by
+            # adopting the head's fork-era schema. Only commits on the
+            # explicit layout-only whitelist rebase; anything else —
+            # including unknown types from a newer writer — conflicts.
+            _REBASABLE = ("compaction",)
+            for v in range(base_version + 1, cur + 1):
+                lin = self._lineage_entry(v) or {}
+                t = lin.get("type")
+                if t not in _REBASABLE:
+                    raise CommitConflict(
+                        f"branch {name!r} forked at v{base_version} "
+                        f"but the table is at v{cur} and v{v} is a "
+                        f"{t or 'unknown'} commit — its commits (and "
+                        f"any audit over them) assumed that exact "
+                        f"base; re-create the branch on the current "
+                        f"state")
+            if self.snapshot()["n_buckets"] != \
+                    self.snapshot(base_version)["n_buckets"]:
+                raise CommitConflict(
+                    f"bucket layout changed under branch {name!r} — "
+                    f"re-create the branch on the current state")
         head_snap = bt.snapshot(head)
         base_snap = self.snapshot(base_version)
         version = cur + 1
@@ -803,6 +841,8 @@ class LakeTable:
             "branch_history": branch_history,
             "commit_manifest": man_path,
             "touched_buckets": sorted(int(b) for b in net),
+            **({"rebased_over": cur - base_version}
+               if cur != base_version else {}),
             **({"feed_opaque": True} if rolled_back else {}),
             **({"rebucketed": True} if rebucketed else {}),
         }

@@ -250,3 +250,61 @@ def test_rebucketing_branch_feed_reads_unpruned(spark, tmp_path):
     gotw = {(r["url"], r["_change_type"])
             for r in t.changes_window(1, 2).collect()}
     assert gotw == got
+
+
+def test_fast_forward_rebases_over_maintenance_only(spark, tmp_path):
+    """The out-of-band maintenance job beside an open audit branch:
+    a compaction commit on main (layout-only) does NOT invalidate the
+    publish — fast_forward rebases on top of it, state equals the
+    direct-apply control, and retention kept the fork-era files the
+    untouched buckets re-point at. Ingest-class and schema commits on
+    main still hard-conflict."""
+    t = _make(spark, tmp_path, "t", n_buckets=4)
+    # leave delta layers on main so its compaction has work to do
+    t.merge(_batch(spark, [("u2", "b2", 5, "U")]), batch_id="e-2",
+            mode="delta")
+    ctl = _make(spark, tmp_path, "ctl", n_buckets=4)
+    ctl.merge(_batch(spark, [("u2", "b2", 5, "U")]), batch_id="e-2",
+              mode="delta")
+
+    t.create_branch("load")
+    b = t.branch("load")
+    b.merge(_batch(spark, [("u1", "a2", 9, "U"), ("u4", "d", 10, "I")]),
+            batch_id="e-3", mode="delta")
+
+    # maintenance on MAIN while the branch is open (versions move)
+    assert t.compact()["version"] > 2
+    t.expire_snapshots(keep_last=1)     # no commit; branch files pinned
+    t.remove_orphans(older_than_s=0.0)  # no commit
+
+    res = t.fast_forward("load")
+    assert res["commits"] == 1
+    assert t._lineage_entry(res["version"])["rebased_over"] >= 1
+
+    ctl.merge(_batch(spark, [("u1", "a2", 9, "U"), ("u4", "d", 10, "I")]),
+              batch_id="e-3", mode="delta")
+    assert _state(t) == _state(ctl)
+    # the feed over the published commit still folds
+    got = {(r["url"], r["_change_type"])
+           for r in t.changes(res["version"] - 1, res["version"])
+           .collect()}
+    assert got == {("u1", "upsert"), ("u4", "upsert")}
+
+    # ingest-class movement still conflicts
+    t.create_branch("l2")
+    b2 = t.branch("l2")
+    b2.merge(_batch(spark, [("u9", "x", 20, "I")]), batch_id="e-9")
+    t.merge(_batch(spark, [("u8", "y", 21, "I")]), batch_id="m-9")
+    with pytest.raises(CommitConflict, match="merge commit"):
+        t.fast_forward("l2")
+    t.drop_branch("l2", force=True)
+
+    # schema evolution on main conflicts too (would be undone)
+    t.create_branch("l3")
+    b3 = t.branch("l3")
+    b3.merge(_batch(spark, [("u7", "w", 30, "I")]), batch_id="e-10")
+    t.evolve(t.fields() + [{"id": 9, "name": "extra",
+                            "type": "string"}], note="main add")
+    with pytest.raises(CommitConflict, match="schema-evolution"):
+        t.fast_forward("l3")
+    t.drop_branch("l3", force=True)
