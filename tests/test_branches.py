@@ -308,3 +308,58 @@ def test_fast_forward_rebases_over_maintenance_only(spark, tmp_path):
     with pytest.raises(CommitConflict, match="schema-evolution"):
         t.fast_forward("l3")
     t.drop_branch("l3", force=True)
+
+
+def test_randomized_branch_publish_equivalence(spark, tmp_path):
+    """Property sweep: a seeded random op sequence — mixed cow/delta
+    merges with duplicate deliveries and stale lsns, branch-local
+    compactions, maintenance compactions on MAIN while the branch is
+    open — applied through repeated fork/ingest/fast_forward cycles
+    must land on the same state as applying every batch directly, and
+    downstream folds (a mirror synced only from main) must converge
+    through every published seam."""
+    import random
+
+    rng = random.Random(4242)
+    t = _make(spark, tmp_path, "t", n_buckets=4)
+    ctl = _make(spark, tmp_path, "ctl", n_buckets=4)
+    m = create_mirror(spark, t, str(tmp_path / "m"))
+    sync_mirror(t, m)
+
+    keys = [f"k{i}" for i in range(15)]
+    lsn = 100
+    batch_no = 0
+    for cycle in range(3):
+        t.create_branch("load")
+        b = t.branch("load")
+        for _ in range(rng.randint(1, 3)):
+            rows = []
+            for _ in range(rng.randint(3, 9)):
+                k = rng.choice(keys)
+                op = rng.choice(["I", "U", "U", "D"])
+                this_lsn = lsn if rng.random() < 0.8 else max(0, lsn - 7)
+                lsn += 1
+                val = None if op == "D" else f"v{this_lsn}"
+                rows.append((k, val, this_lsn, op))
+            mode = rng.choice(["cow", "delta"])
+            if mode == "delta":
+                best = {}
+                for k, val, l, op in rows:
+                    if k not in best or (l, op == "D") > (
+                            best[k][2], best[k][3] == "D"):
+                        best[k] = (k, val, l, op)
+                rows = list(best.values())
+            batch_no += 1
+            b.merge(_batch(spark, rows), batch_id=f"e-{batch_no}",
+                    mode=mode)
+            ctl.merge(_batch(spark, rows), batch_id=f"e-{batch_no}",
+                      mode=mode)
+            if rng.random() < 0.3:
+                b.compact()
+        if rng.random() < 0.5:
+            t.compact()                 # maintenance beside the branch
+        t.fast_forward("load")
+        assert _state(t) == _state(ctl), f"cycle {cycle} diverged"
+        sync_mirror(t, m)
+        assert ({r["url"]: r["val"] for r in m.read().collect()}
+                == _state(t)), f"mirror diverged at cycle {cycle}"
