@@ -572,3 +572,85 @@ def expire_envelope_windows(out_dir: str,
         else:
             kept += 1
     return {"removed_windows": removed, "kept_windows": kept}
+
+
+# ------------------------------------------- replica bootstrap (topic)
+
+
+def export_replica_bootstrap(source: LakeTable, out_dir: str) -> dict:
+    """Materialize a consistent bootstrap for NEW replica sites: the
+    source's current winner rows — INCLUDING tombstones, so the
+    replica inherits exactly the late-arrival suppression state — as
+    parquet, plus a manifest pinning (version, schema, key, buckets).
+    This is what a late consumer uses after topic retention swept the
+    window prefix (the log-compacted-topic contract): bootstrap, then
+    consume windows > the pinned version.
+
+    Distributed write, O(live table); the manifest is one JSON file
+    written AFTER the parquet (its presence commits the export, same
+    _SUCCESS discipline as windows)."""
+    import json
+
+    snap = source.snapshot()
+    version = snap["version"]
+    fields = source.fields(snap)
+    key = source.key_field(snap)
+    w = source._winner_per_key(
+        source._read_entries(fields, source.files(snap)), key)
+    w.write.mode("overwrite").parquet(os.path.join(out_dir, "rows"))
+    man = {
+        "version": version,
+        "fields": fields,
+        "key": key,
+        "n_buckets": snap["n_buckets"],
+        "registry_ver": source.registry_version(snap),
+    }
+    tmp = os.path.join(out_dir, "_bootstrap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_bootstrap.json"))
+    return man
+
+
+def bootstrap_replica(spark, export_dir: str, root: str,
+                      n_buckets: int | None = None) -> LakeTable:
+    """Create a replica table from an ``export_replica_bootstrap``
+    directory, seeded so topic consumption resumes EXACTLY where the
+    export was cut: the bootstrap merges with
+    ``batch_id="env-<version>"``, which sets the env- high-water mark
+    — ``apply_envelopes`` then skips every window at or below the
+    export version and folds only newer ones. Safe under prefix-only
+    topic retention even when retained windows overlap the bootstrap:
+    older upserts lose by lsn, suffix deletes carry pre-image lsns
+    that tie-or-beat the bootstrapped rows (deleted wins the tie), so
+    re-reads converge rather than resurrect.
+
+    Re-running against an existing root is the usual idempotent no-op
+    (the ledger already carries the batch id)."""
+    import json
+
+    man_path = os.path.join(export_dir, "_bootstrap.json")
+    if not os.path.exists(man_path):
+        raise ValueError(
+            f"no _bootstrap.json under {export_dir} — export "
+            f"incomplete or not an export_replica_bootstrap directory")
+    with open(man_path) as f:
+        man = json.load(f)
+    if os.path.exists(os.path.join(root, "_meta", "_current")):
+        table = LakeTable(spark, root)
+    else:
+        table = LakeTable.create(
+            spark, root, fields=man["fields"], key_field=man["key"],
+            n_buckets=n_buckets or man["n_buckets"])
+    rows = spark.read.parquet(os.path.join(export_dir, "rows"))
+    batch = rows.select(
+        *[f["name"] for f in man["fields"]],
+        F.col("_lsn").alias("lsn"),
+        F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("I"))
+        .alias("op"),
+    )
+    table.merge(batch, batch_id=f"env-{man['version']}",
+                source_unique=True,
+                lineage={"mode": "replica_bootstrap",
+                         "export_version": man["version"]})
+    return table

@@ -137,6 +137,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refresh-views-every", type=int, default=None,
                    help="(--stream) advance every --view each N "
                         "applied epochs (default 4 when --view given)")
+    p.add_argument("--expire-envelopes-to", type=int, default=None,
+                   metavar="VERSION",
+                   help="(--maintain, with --envelope-dir) topic "
+                        "retention: delete complete envelope windows "
+                        "ending at or below VERSION (the consumers' "
+                        "low-water mark); newer windows and the "
+                        "publish offset survive")
     p.add_argument("--consume-envelopes", default=None, metavar="DIR",
                    dest="consume_envelopes",
                    help="run as the REPLICA site: apply the envelope "
@@ -272,6 +279,15 @@ def main(argv: list[str] | None = None) -> dict:
         if args.gc_orphans_older_than is not None:
             result["gc"] = table.remove_orphans(
                 older_than_s=args.gc_orphans_older_than)
+        if args.expire_envelopes_to is not None:
+            if not args.envelope_dir:
+                raise SystemExit("--expire-envelopes-to requires "
+                                 "--envelope-dir")
+            from clinical_trials_etl_spark.cdc.envelope import \
+                expire_envelope_windows
+
+            result["expire_envelopes"] = expire_envelope_windows(
+                args.envelope_dir, args.expire_envelopes_to)
         views = _refresh_views(table)
         if views is not None:
             result["views"] = views

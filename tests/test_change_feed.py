@@ -916,3 +916,64 @@ def test_envelope_consumers_quarantine_malformed_lines(spark, tmp_path):
     assert res2["quarantined"] == 3
     assert ({(r["url"], r["val"]) for r in rep2.read().collect()}
             == got)
+
+
+def test_replica_bootstrap_then_tail_after_retention(spark, tmp_path):
+    """The log-compacted-topic contract end-to-end: retention sweeps
+    the window prefix, a NEW replica site bootstraps from the exported
+    winner rows (tombstones included) and resumes consumption exactly
+    at the export version — skipping swept history it never saw,
+    folding only newer windows — and converges. Overlapping retained
+    windows re-read idempotently (prefix-only retention makes that
+    safe), and re-running the bootstrap is a ledger no-op."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        bootstrap_replica,
+        export_replica_bootstrap,
+        expire_envelope_windows,
+        publish_envelope_window,
+        run_envelope_stream,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I"),
+                             ("u3", "c", 3, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u2", None, 10, "D"),
+                             ("u1", "a2", 11, "U")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+
+    # cut the bootstrap at v2 (u2 is a tombstone here), then sweep the
+    # prefix the new site will never see
+    boot = str(tmp_path / "boot")
+    man = export_replica_bootstrap(src, boot)
+    assert man["version"] == 2
+    expire_envelope_windows(env, keep_after_version=1)
+
+    # source moves on: u4 insert, and a LATE stale event for deleted
+    # u2 (lsn 5 < its tombstone's 10) that must NOT resurrect it
+    src.merge(_batch(spark, [("u4", "d", 20, "I"),
+                             ("u2", "late", 5, "U")]), batch_id="e-3")
+    publish_envelope_window(src, env)
+
+    def live(t):
+        return {(r["url"], r["val"]) for r in t.read().collect()}
+
+    rep = bootstrap_replica(spark, boot, str(tmp_path / "rep"))
+    assert live(rep) == {("u1", "a2"), ("u3", "c")}   # v2 state
+    res = apply_envelopes(rep, env)
+    assert res["windows_applied"] == 1                # only window 3
+    assert live(rep) == live(src)
+    assert ("u2", "late") not in live(rep)            # tombstone held
+
+    # re-running the bootstrap after consumption: ledger no-op
+    v = rep.current_version()
+    bootstrap_replica(spark, boot, str(tmp_path / "rep"))
+    assert rep.current_version() == v
+
+    # streaming consumer from the same bootstrap converges too
+    rep2 = bootstrap_replica(spark, boot, str(tmp_path / "rep2"))
+    run_envelope_stream(spark, env, rep2, str(tmp_path / "ckpt"))
+    assert live(rep2) == live(src)

@@ -340,3 +340,40 @@ def test_job_consume_envelopes_replica_site(spark, tmp_path):
     with pytest.raises(SystemExit, match="existing"):
         main(["--table", str(tmp_path / "nope"),
               "--consume-envelopes", env])
+
+
+def test_job_maintain_expires_envelope_topic(spark, tmp_path):
+    """--maintain --envelope-dir --expire-envelopes-to: topic
+    retention runs on the same out-of-band maintenance pass as table
+    retention."""
+    import os
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        last_published,
+        publish_envelope_window,
+    )
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    log_dir = str(tmp_path / "log")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=3)
+    root = str(tmp_path / "t")
+    env = str(tmp_path / "env")
+    main(["--log-dir", log_dir, "--table", root])
+    t = LakeTable(spark, root)
+    for v in range(1, t.current_version() + 1):
+        from clinical_trials_etl_spark.cdc.envelope import (
+            export_changes_envelope,
+        )
+
+        export_changes_envelope(t, os.path.join(
+            env, f"window-{v - 1:08d}-{v:08d}"), v - 1, v)
+    hwm = last_published(env)
+    out = main(["--table", root, "--maintain", "--envelope-dir", env,
+                "--expire-envelopes-to", str(hwm - 1)])
+    assert out["expire_envelopes"]["removed_windows"] == hwm - 1
+    assert last_published(env) == hwm
+
+    import pytest
+    with pytest.raises(SystemExit, match="envelope-dir"):
+        main(["--table", root, "--maintain",
+              "--expire-envelopes-to", "1"])
