@@ -34,6 +34,8 @@ import os
 import re
 import shutil
 
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -288,19 +290,30 @@ def _envelopes_to_batch(df: DataFrame) -> DataFrame:
 def apply_envelopes(target: LakeTable, env_dir: str,
                     mode: str = "cow",
                     registry: dict | None = None,
-                    quarantine_dir: str | None = None) -> dict:
+                    quarantine_dir: str | None = None,
+                    windows_per_commit: int | None = None) -> dict:
     """Apply every complete, not-yet-applied envelope window under
     ``env_dir`` to ``target``, in window order — the consumer half of
     the publish protocol, replicating a table across sites through
     nothing but the published directories (object storage instead of
     a message broker).
 
-    Exactly-once without a side checkpoint: each window merges with
-    ``batch_id="env-<to_version>"``, so the applied offset is the
-    target's own per-prefix high-water mark, committed atomically
-    with the data (the cdc/mirror.py mechanism, pointed at files).
-    Re-running after success is a metadata no-op; a crash mid-window
-    re-merges that window idempotently.
+    Exactly-once without a side checkpoint: each commit merges with
+    ``batch_id="env-<to_version of its last window>"``, so the applied
+    offset is the target's own per-prefix high-water mark, committed
+    atomically with the data (the cdc/mirror.py mechanism, pointed at
+    files). Re-running after success is a metadata no-op; a crash
+    mid-commit re-merges its windows idempotently.
+
+    ``windows_per_commit``: how many pending windows fold into one
+    MERGE. Default None = ALL pending windows in a single commit — the
+    keyed max-(lsn, deleted) rule makes the union-then-merge exactly
+    equivalent to merging window-by-window, and a lagging consumer
+    catches up paying ONE per-commit fixed cost instead of one per
+    window (measured 4x on an 8-window backlog, BENCH/exp_envelope.py
+    — the same fixed-cost floor the IVM window feed eliminated). Pass
+    1 for per-window commit granularity (window-level lineage and
+    time travel on the replica).
 
     Delete envelopes carry the pre-image LSN (the publish-side
     convention); the replica's tombstone ties that LSN and wins the
@@ -337,52 +350,87 @@ def apply_envelopes(target: LakeTable, env_dir: str,
                 windows.append((int(m.group(1)), int(m.group(2)), fn))
     windows.sort()
 
-    applied = 0
-    quarantined = 0
-    for a, b, fn in windows:
-        if b <= applied_hwm:
-            continue
-        path = os.path.join(env_dir, fn)
-        ver = _window_schema_ver(target.spark, path)
-        tver = target.registry_version(registry=registry)
-        if ver is not None and ver != tver:
-            from clinical_trials_etl_spark.cdc import registry as reg
+    pending = [(a, b, fn) for a, b, fn in windows if b > applied_hwm]
+    step = windows_per_commit or max(1, len(pending))
+    groups = [pending[i:i + step] for i in range(0, len(pending), step)]
 
-            if ver > tver:
-                _evolve_to_ver(target, ver, registry)
-            wfields = reg.schema_for_version(ver, registry)
-        else:
-            wfields = target.fields()
+    applied = 0
+    windows_done = 0
+    quarantined = 0
+    for group in groups:
+        # schema versions first: ONE slim scan over the whole group
+        # (grouped by source directory) instead of a peek job per
+        # window; then evolve ONCE to the group's max and parse each
+        # window at its own version, projecting by field id
+        paths = [os.path.join(env_dir, fn) for _a, _b, fn in group]
+        rows = (target.spark.read.schema(_SLIM_VER_SCHEMA).json(paths)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.max("source.schema_ver").alias("v"))
+                .collect())
+        by_dir: dict[str, int | None] = {}
+        for r in rows:
+            d = os.path.basename(os.path.dirname(
+                unquote(urlparse(r["f"]).path)))
+            v = None if r["v"] is None else int(r["v"])
+            cur = by_dir.get(d)
+            if cur is None or (v is not None and v > cur):
+                by_dir[d] = v
+        vers = {fn: by_dir.get(fn) for _a, _b, fn in group}
+        tver = target.registry_version(registry=registry)
+        group_max = max((v for v in vers.values() if v is not None),
+                        default=None)
+        if group_max is not None and group_max > tver:
+            _evolve_to_ver(target, group_max, registry)
+            tver = group_max
         key = target.key_field()
-        df, bad = _read_window_split(target.spark, path, wfields, key)
-        n_bad = bad.count()
-        if n_bad and quarantine_dir:
-            bad.write.mode("append").json(
-                os.path.join(quarantine_dir, fn))
-        quarantined += n_bad
-        batch = _envelopes_to_batch(df)
-        # project onto the replica's CURRENT columns by field id:
-        # renames resolve, widens cast up, later-added fields are null
-        w_by_id = {f["id"]: f for f in wfields}
-        batch = batch.select(
-            *[
-                (F.col(w_by_id[f["id"]]["name"])
-                 if f["id"] in w_by_id else F.lit(None))
-                .cast(_spark_type(f["type"])).alias(f["name"])
-                for f in target.fields()
-            ],
-            "lsn", "op",
-        )
-        res = target.merge(batch, batch_id=f"env-{b}", mode=mode,
-                           lineage={"type_detail": "apply_envelopes",
-                                    "window": fn,
-                                    **({"quarantined": n_bad}
-                                       if n_bad else {}),
-                                    **({"schema_ver": ver}
-                                       if ver is not None else {})})
+        cur_fields = target.fields()
+        parts = []
+        group_bad = 0
+        for _a, b, fn in group:
+            path = os.path.join(env_dir, fn)
+            ver = vers[fn]
+            if ver is not None and ver != tver:
+                from clinical_trials_etl_spark.cdc import registry as reg
+
+                wfields = reg.schema_for_version(ver, registry)
+            else:
+                wfields = cur_fields
+            df, bad = _read_window_split(
+                target.spark, path, wfields, key)
+            n_bad = bad.count()
+            if n_bad and quarantine_dir:
+                bad.write.mode("append").json(
+                    os.path.join(quarantine_dir, fn))
+            group_bad += n_bad
+            batch = _envelopes_to_batch(df)
+            # project onto the replica's CURRENT columns by field id:
+            # renames resolve, widens cast up, later adds fill null
+            w_by_id = {f["id"]: f for f in wfields}
+            parts.append(batch.select(
+                *[
+                    (F.col(w_by_id[f["id"]]["name"])
+                     if f["id"] in w_by_id else F.lit(None))
+                    .cast(_spark_type(f["type"])).alias(f["name"])
+                    for f in cur_fields
+                ],
+                "lsn", "op",
+            ))
+        quarantined += group_bad
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        last_b = group[-1][1]
+        res = target.merge(
+            union, batch_id=f"env-{last_b}", mode=mode,
+            lineage={"type_detail": "apply_envelopes",
+                     "windows": [fn for _a, _b, fn in group],
+                     **({"quarantined": group_bad}
+                        if group_bad else {})})
         if not res.get("skipped"):
             applied += 1
-    return {"windows_applied": applied,
+            windows_done += len(group)
+    return {"windows_applied": windows_done,
+            "commits": applied,
             "quarantined": quarantined,
             "replica_version": target.current_version(),
             "applied_through": max(
