@@ -221,6 +221,23 @@ def _envelope_schema(target: LakeTable) -> T.StructType:
     return _envelope_schema_for(target.fields())
 
 
+def _slim_probe_schema(key: str, key_type: str) -> T.StructType:
+    """One narrow read answers BOTH group questions — each window's
+    schema version and its dead-letter count — so the poller pays a
+    single probe job per commit group, not one per window."""
+    img = T.StructType([T.StructField(key, _spark_type(key_type))])
+    return T.StructType([
+        T.StructField("before", img),
+        T.StructField("after", img),
+        T.StructField("op", T.StringType()),
+        T.StructField("source", T.StructType([
+            T.StructField("lsn", T.LongType()),
+            T.StructField("schema_ver", T.LongType()),
+        ])),
+        T.StructField(_CORRUPT, T.StringType()),
+    ])
+
+
 _SLIM_VER_SCHEMA = T.StructType([T.StructField("source", T.StructType(
     [T.StructField("schema_ver", T.LongType())]))])
 
@@ -357,17 +374,37 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     applied = 0
     windows_done = 0
     quarantined = 0
+    key = target.key_field()
+    key_type = next(f["type"] for f in target.fields()
+                    if f["name"] == key)
     for group in groups:
-        # schema versions first: ONE slim scan over the whole group
-        # (grouped by source directory) instead of a peek job per
-        # window; then evolve ONCE to the group's max and parse each
-        # window at its own version, projecting by field id
+        # ONE slim probe over the whole group (grouped by window
+        # directory) answers both per-window schema version and
+        # dead-letter count — no peek job per window; then evolve
+        # ONCE to the group's max and parse each window at its own
+        # version, projecting by field id. The probe reads the
+        # fork-era key under its CURRENT name; renamed-key windows
+        # would flag their rows bad here, but key renames are not a
+        # registry op the engine admits (the merge key is fixed).
         paths = [os.path.join(env_dir, fn) for _a, _b, fn in group]
-        rows = (target.spark.read.schema(_SLIM_VER_SCHEMA).json(paths)
+        probe_bad = (
+            F.col(_CORRUPT).isNotNull()
+            | F.col("op").isNull()
+            | F.col("source.lsn").isNull()
+            | (F.col(f"after.{key}").isNull()
+               & F.col(f"before.{key}").isNull())
+        )
+        rows = (target.spark.read
+                .schema(_slim_probe_schema(key, key_type))
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", _CORRUPT)
+                .json(paths)
                 .groupBy(F.input_file_name().alias("f"))
-                .agg(F.max("source.schema_ver").alias("v"))
+                .agg(F.max("source.schema_ver").alias("v"),
+                     F.sum(probe_bad.cast("long")).alias("nb"))
                 .collect())
         by_dir: dict[str, int | None] = {}
+        bad_by_dir: dict[str, int] = {}
         for r in rows:
             d = os.path.basename(os.path.dirname(
                 unquote(urlparse(r["f"]).path)))
@@ -375,6 +412,7 @@ def apply_envelopes(target: LakeTable, env_dir: str,
             cur = by_dir.get(d)
             if cur is None or (v is not None and v > cur):
                 by_dir[d] = v
+            bad_by_dir[d] = bad_by_dir.get(d, 0) + int(r["nb"] or 0)
         vers = {fn: by_dir.get(fn) for _a, _b, fn in group}
         tver = target.registry_version(registry=registry)
         group_max = max((v for v in vers.values() if v is not None),
@@ -382,7 +420,6 @@ def apply_envelopes(target: LakeTable, env_dir: str,
         if group_max is not None and group_max > tver:
             _evolve_to_ver(target, group_max, registry)
             tver = group_max
-        key = target.key_field()
         cur_fields = target.fields()
         parts = []
         group_bad = 0
@@ -397,7 +434,7 @@ def apply_envelopes(target: LakeTable, env_dir: str,
                 wfields = cur_fields
             df, bad = _read_window_split(
                 target.spark, path, wfields, key)
-            n_bad = bad.count()
+            n_bad = bad_by_dir.get(fn, 0)
             if n_bad and quarantine_dir:
                 bad.write.mode("append").json(
                     os.path.join(quarantine_dir, fn))
@@ -513,18 +550,21 @@ def run_envelope_stream(
                 | (F.col(f"after.{key}").isNull()
                    & F.col(f"before.{key}").isNull())
             )
-            bad = batch_df.filter(bad_pred)
-            n_bad = bad.count()
+            # one probe job per epoch answers schema bounds AND the
+            # dead-letter count; the quarantine re-scan only runs in
+            # the rare corrupt case
+            vs = batch_df.agg(
+                F.min("source.schema_ver"), F.max("source.schema_ver"),
+                F.sum(bad_pred.cast("long")),
+            ).first()
+            n_bad = int(vs[2] or 0)
             if n_bad:
                 applied["quarantined"] += n_bad
                 if quarantine_dir:
-                    bad.write.mode("append").json(
+                    batch_df.filter(bad_pred).write.mode("append").json(
                         os.path.join(quarantine_dir,
                                      f"epoch-{epoch_id}"))
             batch_df = batch_df.filter(~bad_pred).drop(_CORRUPT)
-            vs = batch_df.agg(
-                F.min("source.schema_ver"), F.max("source.schema_ver")
-            ).first()
             mn = None if vs[0] is None else int(vs[0])
             mx = None if vs[1] is None else int(vs[1])
             if mx is not None and mx > tver:
