@@ -483,6 +483,7 @@ def run_envelope_stream(
     max_files_per_trigger: int = 16,
     registry: dict | None = None,
     quarantine_dir: str | None = None,
+    fail_after_batches: int | None = None,
 ) -> dict:
     """Tail the envelope topic with Structured Streaming — the
     always-on twin of :func:`apply_envelopes` (which polls complete
@@ -597,6 +598,16 @@ def run_envelope_stream(
             )
             if not res.get("skipped"):
                 applied["n"] += 1
+            if (fail_after_batches is not None
+                    and applied["n"] >= fail_after_batches):
+                # fault injection (same contract as run_stream's):
+                # crash AFTER the replica's lake commit but BEFORE
+                # Structured Streaming checkpoints this epoch's
+                # offsets — the worst-case window; the resumed run
+                # re-delivers the epoch and the ledger no-ops it
+                raise RuntimeError(
+                    f"injected crash after applied epoch {epoch_id} "
+                    "(replica committed, offsets not)")
 
         query = (
             spark.readStream

@@ -977,3 +977,53 @@ def test_replica_bootstrap_then_tail_after_retention(spark, tmp_path):
     rep2 = bootstrap_replica(spark, boot, str(tmp_path / "rep2"))
     run_envelope_stream(spark, env, rep2, str(tmp_path / "ckpt"))
     assert live(rep2) == live(src)
+
+
+def test_envelope_stream_kill_resume_worst_case_window(spark, tmp_path):
+    """Replica-stream exactly-once under the worst-case crash: the
+    injected failure lands AFTER the replica's lake commit but BEFORE
+    the epoch's offsets checkpoint. The resumed stream re-delivers the
+    epoch, the replica's own batch ledger no-ops it, and consumption
+    continues to convergence — no duplicates, no gaps."""
+    import pytest
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        publish_envelope_window,
+        run_envelope_stream,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "a", 1, "I"), ("u2", "b", 2, "I")]),
+              batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u1", "a2", 10, "U"),
+                             ("u3", "c", 11, "I")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        run_envelope_stream(spark, env, rep, ckpt,
+                            max_files_per_trigger=1,
+                            fail_after_batches=1)
+    v_crashed = rep.current_version()
+    assert v_crashed >= 1                      # the commit landed
+
+    res = run_envelope_stream(spark, env, rep, ckpt)
+    # the crashed epoch was re-delivered and ledger-skipped, the rest
+    # applied; state converges with no duplicate commit for epoch 0
+    assert ({(r["url"], r["val"]) for r in rep.read().collect()}
+            == {(r["url"], r["val"]) for r in src.read().collect()})
+    lineage_epochs = [
+        e.get("epoch") for e in
+        (rep._lineage_entry(v) for v in
+         range(1, rep.current_version() + 1))
+        if e and e.get("type_detail") == "envelope_stream"
+    ]
+    assert len(lineage_epochs) == len(set(lineage_epochs))
+    # nothing new: one more invocation is a clean no-op
+    res2 = run_envelope_stream(spark, env, rep, ckpt)
+    assert res2["epochs"] == 0
