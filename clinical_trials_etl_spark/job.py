@@ -88,6 +88,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(--maintain) after expiry, delete crash-stranded "
                         "files no snapshot references and older than "
                         "this many seconds")
+    p.add_argument("--delete-where", default=None, metavar="SQL_EXPR",
+                   help="(--maintain) predicate row-level delete "
+                        "(LakeTable.delete_where) BEFORE compaction — "
+                        "with --compact-*/--expire-keep/--gc-orphans-"
+                        "older-than this one invocation is the full "
+                        "GDPR erasure recipe: tombstone, fold, expire, "
+                        "reclaim")
+    p.add_argument("--update-where", default=None, metavar="SQL_EXPR",
+                   help="(--maintain) predicate row-level update "
+                        "(LakeTable.update_where); requires "
+                        "--update-set. Runs quiesced by construction — "
+                        "the maintenance job is the fence contract's "
+                        "deployment shape")
+    p.add_argument("--update-set", action="append", default=None,
+                   metavar="COL=SQL_EXPR",
+                   help="(--update-where) assignment, repeatable; the "
+                        "expression sees the old row's columns")
     p.add_argument("--envelope-dir", default=None,
                    help="(--stream) publish Debezium-style JSON-Lines "
                         "change envelopes under this directory on the "
@@ -265,6 +282,22 @@ def main(argv: list[str] | None = None) -> dict:
         result = {"mode": "maintain"}
         if args.fast_forward:
             result["fast_forward"] = table.fast_forward(args.fast_forward)
+        row_op_mode = args.merge_mode or "delta"
+        if args.update_where:
+            if not args.update_set:
+                raise SystemExit("--update-where requires --update-set")
+            assignments = {}
+            for spec in args.update_set:
+                col, _, expr = spec.partition("=")
+                if not _:
+                    raise SystemExit(
+                        f"--update-set wants COL=SQL_EXPR, got {spec!r}")
+                assignments[col.strip()] = expr.strip()
+            result["update_where"] = table.update_where(
+                args.update_where, assignments, mode=row_op_mode)
+        if args.delete_where:
+            result["delete_where"] = table.delete_where(
+                args.delete_where, mode=row_op_mode)
         compacted = table.compact(
             max_files_per_bucket=args.max_files_per_bucket,
             sort_by=args.compact_sort_by,

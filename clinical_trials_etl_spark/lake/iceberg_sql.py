@@ -215,3 +215,42 @@ def write_to_branch_statements(table_name: str, branch: str) -> list[str]:
         f"('write.wap.enabled'='true')",
         f"SET spark.wap.branch = {branch}",
     ]
+
+
+def delete_where_statement(table_name: str, fields: list[dict],
+                           key: str, predicate: str) -> str:
+    """Row-level predicate delete on a real catalog, matching
+    :meth:`LakeTable.delete_where`'s semantics EXACTLY: the row
+    becomes a payload-free tombstone that KEEPS its lsn, so the
+    engine's late-arrival guard still holds (a redelivered lower-lsn
+    event cannot resurrect it, a genuinely newer event can). A plain
+    ``DELETE FROM t WHERE p`` would drop the lsn memory — on an
+    Iceberg deployment that form is the *final erasure* step (the
+    twin of tombstone + compact + expire), not the live-table
+    correction."""
+    nulls = ",\n    ".join(f"{f['name']} = NULL" for f in fields
+                           if f["name"] != key)
+    return (
+        f"UPDATE {table_name} SET\n"
+        f"    _deleted = true,\n"
+        f"    {nulls}\n"
+        f"WHERE NOT _deleted AND ({predicate})"
+    )
+
+
+def update_where_statement(table_name: str, assignments: dict,
+                           fence_lsn: int, predicate: str) -> str:
+    """Row-level predicate update on a real catalog, matching
+    :meth:`LakeTable.update_where`: assignments apply over the old
+    row and the corrected rows are stamped at the fence LSN, so the
+    max-(lsn, deleted) ordering vs future upstream events is
+    identical to the stand-in's (correction wins until a strictly
+    newer source event)."""
+    sets = ",\n    ".join(f"{c} = {expr}"
+                          for c, expr in assignments.items())
+    return (
+        f"UPDATE {table_name} SET\n"
+        f"    {sets},\n"
+        f"    _lsn = {int(fence_lsn)}\n"
+        f"WHERE NOT _deleted AND ({predicate})"
+    )

@@ -105,6 +105,39 @@ class CommitConflict(Exception):
     loudly."""
 
 
+class CorrectionFenceCollision(Exception):
+    """An incoming CDC batch carries an event whose LSN equals a
+    lake-side correction's fence LSN *for a key that correction
+    touched*. ``update_where`` mints its corrected rows at
+    ``max(applied lsn) + 1`` — an LSN the upstream log had not yet
+    emitted — so a later source event assigned exactly that LSN for
+    the same key would tie with the correction under the
+    max-``(lsn, deleted)`` winner rule with two DIFFERENT payloads:
+    genuinely ambiguous, and the one case the engine refuses to
+    resolve silently. The apply path (``cdc/apply.py``) trips this
+    before the merge runs; the batch is untouched and the stream can
+    be resumed after the operator either re-runs the correction on
+    top of the new event or drops the event. Events at the fence LSN
+    for keys the correction did NOT touch apply normally — the guard
+    semi-joins against the correction commit's own rows, so there are
+    no false halts."""
+
+
+def _fences_entry(parent: dict, add_lsn: int | None,
+                  version: int) -> dict:
+    """``correction_fences`` snapshot entry: ``[lsn, commit_version]``
+    pairs carried forward from the parent, plus this commit's new
+    fence when it is a lake-side correction. Maintenance commits copy
+    the snapshot dict wholesale, so only the two merge constructors
+    need this. Bounded by the number of ``update_where`` calls ever
+    made — corrections are rare operator actions, not a per-batch
+    path."""
+    fences = [list(p) for p in parent.get("correction_fences", [])]
+    if add_lsn is not None:
+        fences.append([int(add_lsn), int(version)])
+    return {"correction_fences": fences} if fences else {}
+
+
 # bounded optimistic-concurrency retries for the rebasing commit path
 # (compaction vs a live ingest stream); each retry re-reads the
 # current snapshot, so exhausting them means the table is committing
@@ -1813,7 +1846,8 @@ class LakeTable:
     def compact(self, max_files_per_bucket: int = 1,
                 sort_by: str | list[str] | None = None,
                 rows_per_file: int | None = None,
-                zorder_by: list[str] | None = None) -> dict:
+                zorder_by: list[str] | None = None,
+                drop_tombstones_below_lsn: int | None = None) -> dict:
         """Small-file compaction (Iceberg rewrite_data_files analog):
         rewrite every bucket holding more than ``max_files_per_bucket``
         files into one file per bucket, commit as a new snapshot. Data
@@ -1857,6 +1891,20 @@ class LakeTable:
         Layout-only: the read side is untouched, the existing manifest
         stats + skipping machinery does the pruning.
 
+        ``drop_tombstones_below_lsn``: ALSO drop tombstone rows whose
+        lsn is strictly below this value during the rewrite — the
+        Kafka compacted-topic ``delete.retention.ms`` analog, and the
+        final step of full key erasure after ``delete_where`` (a
+        retained tombstone necessarily keeps its key — that is what
+        the late-arrival guard matches on). The operator asserts the
+        source's watermark has passed the threshold: an event below
+        it can no longer arrive, so the guard those tombstones
+        provided is vacuous and dropping them cannot change any
+        future reconciliation. Live rows are NEVER dropped regardless
+        of lsn. Buckets are pruned by manifest lsn stats (a bucket
+        whose every file's min lsn is at/above the threshold holds no
+        droppable tombstone).
+
         Concurrency: compaction is the one op sanctioned to run beside
         the ingest stream. Losing the snapshot-commit race to
         delta-merge commits does not discard the rewrite — the commit
@@ -1898,6 +1946,12 @@ class LakeTable:
         else:
             fat = {b for b, c in counts.items()
                    if c > max_files_per_bucket}
+        if drop_tombstones_below_lsn is not None:
+            thr = int(drop_tombstones_below_lsn)
+            for e in self.files(snap):
+                st = (e.get("stats") or {}).get(SYS_LSN)
+                if st is None or int(st[0]) < thr:
+                    fat.add(e["bucket"])
         if not fat:
             return {"compacted_buckets": 0, "version": snap["version"]}
 
@@ -1909,6 +1963,13 @@ class LakeTable:
         df = self._read_reconciled(snap, fat).withColumn(
             SYS_BUCKET, self.bucket_expr(F.col(self.key_field(snap)))
         )
+        if drop_tombstones_below_lsn is not None:
+            # erase expired tombstones (see docstring) — applied AFTER
+            # reconciliation, so only a key's WINNING row can qualify;
+            # live rows never match the filter
+            df = df.filter(~(F.col(SYS_DELETED)
+                             & (F.col(SYS_LSN)
+                                < int(drop_tombstones_below_lsn))))
         out_dir = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex}")
         phys = {f"f_{f['id']}": f["type"] for f in fields}
         projected = df.select(
@@ -1990,7 +2051,10 @@ class LakeTable:
         manifest_path = self._write_manifest(snap["version"] + 1, by_bucket)
         lin = {"type": "compaction", "buckets": sorted(fat),
                **({"sort_by": sort_cols} if sort_by else {}),
-               **({"zorder_by": z_cols} if zorder_by else {})}
+               **({"zorder_by": z_cols} if zorder_by else {}),
+               **({"drop_tombstones_below_lsn":
+                   int(drop_tombstones_below_lsn)}
+                  if drop_tombstones_below_lsn is not None else {})}
         # Commit with rebase-on-conflict (Iceberg RewriteFiles
         # validation analog): losing the commit race to the ingest
         # stream must not waste the data rewrite above. As long as
@@ -2651,6 +2715,7 @@ class LakeTable:
         fill: Callable[[DataFrame], DataFrame] | None = None,
         source_unique: bool = False,
         wap_id: str | None = None,
+        add_correction_fence: int | None = None,
     ) -> dict:
         """LSN-guarded keyed MERGE (I/U upsert, D tombstone) into the
         touched buckets. ``source`` must carry the table's data columns
@@ -2846,6 +2911,7 @@ class LakeTable:
             "manifests": manifests,
             "batch_hwm": dict(snap["batch_hwm"]),
             "applied_recent": list(snap["applied_recent"]),
+            **_fences_entry(snap, add_correction_fence, version),
             "committed_at": time.time(),
         }
         if batch_id is not None:
@@ -2919,6 +2985,8 @@ class LakeTable:
                     "manifests": manifests,
                     "batch_hwm": dict(base["batch_hwm"]),
                     "applied_recent": list(base["applied_recent"]),
+                    **_fences_entry(base, add_correction_fence,
+                                    version),
                     "committed_at": time.time(),
                     # rebase observability (bench/ops): how many times
                     # this commit re-read and re-pointed before landing
@@ -2969,6 +3037,245 @@ class LakeTable:
                     f"writer — one ingest writer per table; stop the "
                     f"duplicate job")
         return cur
+
+    # ------------------------------------------------- row-level ops
+
+    def _max_applied_lsn(self, snap: dict | None = None) -> int:
+        """Highest ``_lsn`` stored anywhere in the snapshot (-1 for an
+        empty table) — the fence base for lake-side corrections
+        (``update_where``). Metadata-only on the normal path: every
+        manifest entry records ``_lsn`` min/max footer stats
+        (``_collect_written_files`` always includes ``SYS_LSN`` in
+        ``stat_cols``); an entry whose footer poisoned the stat is
+        max'd in via one lsn-column-only scan of just those files —
+        never a payload read."""
+        snap = snap if snap is not None else self.snapshot()
+        hi = -1
+        missing: list[dict] = []
+        for e in self.files(snap):
+            st = (e.get("stats") or {}).get(SYS_LSN)
+            if st is None:
+                missing.append(e)
+            else:
+                hi = max(hi, int(st[1]))
+        if missing:
+            key_fld = [f for f in self.fields(snap)
+                       if f["name"] == self.key_field(snap)]
+            row = (self._read_entries(key_fld, missing)
+                   .agg(F.max(SYS_LSN)).collect()[0])
+            if row[0] is not None:
+                hi = max(hi, int(row[0]))
+        return hi
+
+    def _row_op_hits(self, snap: dict, predicate, columns=None):
+        """Live winners matching ``predicate`` plus their exact
+        touched-bucket set and count (ONE narrow probe action — the
+        same touched-hint seam cdc/apply.py uses, so the full source
+        pipeline feeds exactly the merge write)."""
+        key = self.key_field(snap)
+        pred = (F.expr(predicate) if isinstance(predicate, str)
+                else predicate)
+        hits = (self._read_reconciled(snap, None, columns)
+                .filter(~F.col(SYS_DELETED)).filter(pred))
+        probe = hits.select(
+            self.bucket_expr(F.col(key)).alias("_b")
+        ).agg(
+            F.collect_set("_b").alias("_bs"),
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()[0]
+        return hits, set(probe["_bs"]), int(probe["_n"])
+
+    def delete_where(
+        self,
+        predicate,
+        mode: str = "delta",
+        batch_id: str | None = None,
+        wap_id: str | None = None,
+    ) -> dict:
+        """Predicate row-level delete (Iceberg ``DELETE FROM t WHERE
+        p`` — the GDPR/right-to-erasure shape: 'delete every row for
+        host X'). ``predicate`` is a SQL string or a Column over the
+        data columns.
+
+        Implementation: ONE event-channel merge — the matching live
+        winners become tombstones stamped at each row's OWN current
+        LSN. That is sound on both rules the engine reconciles with:
+        the max-``(lsn, deleted)`` winner orders ``deleted=true``
+        above ``false`` at equal LSN, so the tombstone wins now, and
+        the change feed's strictly-greater diff sees ``(lsn, true) >
+        (lsn, false)``, so downstream consumers (mirrors, IVM,
+        envelope topics) receive ordinary delete events. Precedence
+        vs the upstream source is exactly CDC-correct with no fence:
+        any later source event carries a strictly higher LSN and wins
+        (the delete is a lake-side correction, not a fork of history),
+        while redelivered/stale events at or below the row's LSN stay
+        dead under the same tie rule.
+
+        Tombstones carry NO payload (non-key columns null) — the
+        delete never re-persists the deleted values into its own
+        commit files. Physical erasure follows the normal lake
+        lifecycle: ``mode="cow"`` rewrites the touched buckets
+        immediately (the old files become unreferenced);
+        ``mode="delta"`` is O(matched) and defers the rewrite to
+        ``compact()``. Either way the superseded bytes are reclaimed
+        by ``expire_snapshots()`` + ``remove_orphans()`` — the same
+        recipe Iceberg documents for erasure compliance.
+
+        The scan is pruned to the key + the predicate's columns
+        (textual match against field names — an over-match only
+        widens the read); the merge gets the exact touched-bucket
+        hint, so the whole op is one narrow probe + one merge write.
+        Composes with the rest of the table: ``batch_id`` gives
+        exactly-once under retry, ``wap_id`` stages the delete for
+        write-audit-publish, branches take it unchanged."""
+        snap = self.snapshot()
+        if batch_id is not None and self.is_applied(batch_id, snap):
+            return {"skipped": True, "version": snap["version"],
+                    "deleted_rows": 0}
+        key = self.key_field(snap)
+        fields = self.fields(snap)
+        pred_s = (predicate if isinstance(predicate, str)
+                  else str(predicate))
+        cols = [f["name"] for f in fields
+                if f["name"] == key
+                or re.search(rf"\b{re.escape(f['name'])}\b", pred_s)]
+        hits, touched, n = self._row_op_hits(snap, predicate, cols)
+        if n == 0:
+            return {"skipped": True, "version": snap["version"],
+                    "deleted_rows": 0}
+        src = hits.select(
+            F.col(key),
+            *[F.lit(None).cast(_spark_type(f["type"])).alias(f["name"])
+              for f in fields if f["name"] != key],
+            F.col(SYS_LSN).alias("lsn"),
+            F.lit("D").alias("op"),
+        )
+        res = self.merge(
+            src, batch_id=batch_id,
+            lineage={"row_op": "delete_where", "predicate": pred_s,
+                     "matched_rows": n},
+            touched_hint=touched, mode=mode, source_unique=True,
+            wap_id=wap_id)
+        return {**res, "deleted_rows": n}
+
+    def update_where(
+        self,
+        predicate,
+        assignments: dict,
+        mode: str = "delta",
+        batch_id: str | None = None,
+        wap_id: str | None = None,
+        at_lsn: int | None = None,
+    ) -> dict:
+        """Predicate row-level update (Iceberg ``UPDATE t SET ...
+        WHERE p``): rewrite the matching live winners with
+        ``assignments`` (column -> SQL string or Column, evaluated
+        over the old row — ``{"lang": "'en'"}``, ``{"text":
+        F.upper("text")}``).
+
+        Unlike ``delete_where`` an update cannot ride the row's own
+        LSN — two non-deleted payloads at one ``(key, lsn)`` is
+        exactly the ambiguity the engine's ordering forbids — so the
+        corrected rows are stamped at a **fence LSN** = (highest LSN
+        stored anywhere in the table) + 1, computed from manifest
+        stats (metadata-only, see ``_max_applied_lsn``). Semantics:
+        the correction beats everything the lake has seen, and any
+        later upstream event with a strictly higher LSN beats the
+        correction — the source stays the eventual source of truth,
+        which is the standard CDC-sink correction contract.
+
+        The one LSN the upstream log could still mint that would tie
+        with the correction is the fence value itself. The commit
+        therefore records ``[fence_lsn, version]`` in the snapshot's
+        ``correction_fences``, and the apply path
+        (``cdc/apply.py``) checks each incoming batch against the
+        fences — an event AT a fence LSN for a key that correction
+        touched raises ``CorrectionFenceCollision`` before the merge
+        runs (events at that LSN for other keys pass: the guard
+        semi-joins the correction commit's own rows). In practice
+        corrections run quiesced — between micro-batches or from the
+        ``--maintain`` job — and real WAL positions advance by record
+        bytes, so the guard is a tripwire, not a cost: zero overhead
+        until a fence exists.
+
+        ``at_lsn`` overrides the fence (must exceed every stored
+        LSN) for operators who reserve correction LSN ranges.
+        The key column cannot be assigned (delete + upstream
+        re-insert is the rename-a-key path). Feed/mirror/IVM
+        consumers see ordinary ``update_preimage``/``postimage``
+        events; ``mode``/``batch_id``/``wap_id`` as in
+        ``delete_where``."""
+        snap = self.snapshot()
+        if batch_id is not None and self.is_applied(batch_id, snap):
+            return {"skipped": True, "version": snap["version"],
+                    "updated_rows": 0}
+        key = self.key_field(snap)
+        fields = self.fields(snap)
+        names = {f["name"] for f in fields}
+        if key in assignments:
+            raise ValueError(
+                f"cannot assign the key column {key!r} — delete the "
+                f"row and re-insert under the new key upstream")
+        unknown = set(assignments) - names
+        if unknown:
+            raise ValueError(f"unknown columns: {sorted(unknown)}")
+        maxl = self._max_applied_lsn(snap)
+        fence = int(at_lsn) if at_lsn is not None else maxl + 1
+        if fence <= maxl:
+            raise ValueError(
+                f"at_lsn={fence} does not exceed the highest stored "
+                f"LSN {maxl} — the correction would not win "
+                f"reconciliation")
+        pred_s = (predicate if isinstance(predicate, str)
+                  else str(predicate))
+        sets = {c: (F.expr(v) if isinstance(v, str) else v)
+                for c, v in assignments.items()}
+        hits, touched, n = self._row_op_hits(snap, predicate)
+        if n == 0:
+            return {"skipped": True, "version": snap["version"],
+                    "updated_rows": 0}
+        src = hits.select(
+            *[(sets[f["name"]].cast(_spark_type(f["type"]))
+               .alias(f["name"])
+               if f["name"] in sets else F.col(f["name"]))
+              for f in fields],
+            F.lit(fence).cast("long").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        res = self.merge(
+            src, batch_id=batch_id,
+            lineage={"row_op": "update_where", "predicate": pred_s,
+                     "assignments": {c: str(v) for c, v
+                                     in assignments.items()},
+                     "fence_lsn": fence, "matched_rows": n},
+            touched_hint=touched, mode=mode, source_unique=True,
+            wap_id=wap_id, add_correction_fence=fence)
+        return {**res, "updated_rows": n, "fence_lsn": fence}
+
+    def _correction_keys(self, version: int,
+                         fence_lsn: int) -> DataFrame | None:
+        """Key column of the rows a correction commit stamped at its
+        fence LSN — the exact set the fence-collision guard must
+        check (a COW correction's manifest also carries carried-over
+        bucket rows; filtering on ``_lsn == fence`` isolates the
+        corrected ones in both modes). Returns None when the commit's
+        files were expired — the guard then raises conservatively."""
+        lin = self._lineage_entry(version) or {}
+        man_path = (lin.get("commit_manifest")
+                    or self._manifest_path(version))
+        if not os.path.exists(man_path):
+            return None
+        with open(man_path) as f:
+            man = json.load(f)
+        entries = [e for g in man["files"].values() for e in g]
+        if not entries or any(not os.path.exists(e["path"])
+                              for e in entries):
+            return None
+        key = self.key_field()
+        key_fld = [f for f in self.fields() if f["name"] == key]
+        return (self._read_entries(key_fld, entries)
+                .filter(F.col(SYS_LSN) == int(fence_lsn))
+                .select(key))
 
     # --------------------------------------------- write-audit-publish
 

@@ -215,3 +215,32 @@ def test_branch_statements_golden_and_parse_split(spark):
         with pytest.raises(Exception) as exc:
             parser.parsePlan(s)
         assert "PARSE_SYNTAX_ERROR" in str(exc.value)
+
+
+def test_row_op_statements_golden_and_parse(spark):
+    """delete_where/update_where rendered twins: the tombstoning
+    UPDATE form (NOT a plain DELETE FROM — the stand-in's late-arrival
+    guard keeps the lsn, see delete_where_statement docstring), both
+    valid Spark SQL."""
+    del_stmt = I.delete_where_statement(
+        "lake.pages", PAGES_REGISTRY[1], "url", "lang = 'xx'")
+    assert del_stmt == (
+        "UPDATE lake.pages SET\n"
+        "    _deleted = true,\n"
+        "    warc_ts = NULL,\n"
+        "    html = NULL,\n"
+        "    text = NULL,\n"
+        "    lang = NULL\n"
+        "WHERE NOT _deleted AND (lang = 'xx')"
+    )
+    upd_stmt = I.update_where_statement(
+        "lake.pages", {"lang": "'en'"}, 4711, "lang = 'eng'")
+    assert upd_stmt == (
+        "UPDATE lake.pages SET\n"
+        "    lang = 'en',\n"
+        "    _lsn = 4711\n"
+        "WHERE NOT _deleted AND (lang = 'eng')"
+    )
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for s in (del_stmt, upd_stmt):
+        parser.parsePlan(s)

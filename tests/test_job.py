@@ -377,3 +377,39 @@ def test_job_maintain_expires_envelope_topic(spark, tmp_path):
     with pytest.raises(SystemExit, match="envelope-dir"):
         main(["--table", root, "--maintain",
               "--expire-envelopes-to", "1"])
+
+
+def test_job_maintain_row_ops(spark, tmp_path):
+    """--maintain --delete-where/--update-where: the GDPR-erasure and
+    quiesced-correction job shapes — row-level ops run out-of-band
+    from the same spark-submit invocation as compaction/expiry."""
+    log_dir = str(tmp_path / "log_rowops")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=2)
+    root = str(tmp_path / "t_rowops")
+    main(["--log-dir", log_dir, "--table", root,
+          "--merge-mode", "delta"])
+
+    from pyspark.sql import functions as F
+
+    from clinical_trials_etl_spark.lake.table import LakeTable
+    t = LakeTable(spark, root)
+    victim_host = t.read().select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("h")
+    ).groupBy("h").count().orderBy(F.desc("count")).first()["h"]
+    n_victim = t.read().filter(
+        F.col("url").contains(victim_host)).count()
+    assert n_victim > 0
+    n_total = t.read().count()
+
+    res = main([
+        "--table", root, "--maintain",
+        "--update-where", f"url LIKE '%{victim_host}%'",
+        "--update-set", "language=('x-' || language)",
+        "--delete-where", "language LIKE 'x-%'",
+        "--expire-keep", "2", "--gc-orphans-older-than", "0",
+    ])
+    assert res["update_where"]["updated_rows"] == n_victim
+    # update runs first, so the delete predicate matches its output
+    assert res["delete_where"]["deleted_rows"] == n_victim
+    assert t.read().count() == n_total - n_victim
+    assert t.read().filter(F.col("url").contains(victim_host)).count() == 0
