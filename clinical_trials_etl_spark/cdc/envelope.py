@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import uuid
 
 from urllib.parse import unquote, urlparse
 
@@ -671,6 +672,142 @@ def expire_envelope_windows(out_dir: str,
         else:
             kept += 1
     return {"removed_windows": removed, "kept_windows": kept}
+
+
+def compact_envelope_windows(source: LakeTable, out_dir: str,
+                             upto_version: int | None = None,
+                             drop_tombstones: bool = False) -> dict:
+    """Topic log compaction (Kafka ``cleanup.policy=compact``): squash
+    runs of adjacent complete windows into one window holding each
+    key's WINNING envelope — the same max-``(lsn, op='d')`` rule every
+    consumer folds with, so applying the compacted window converges a
+    replica to exactly the state the original run produced. Retention
+    (``expire_envelope_windows``) serves consumers that are caught up;
+    compaction serves the topic's other job — state transfer to late
+    joiners — by shrinking the replay to O(live keys) instead of
+    O(events) without requiring a snapshot bootstrap. Superseded
+    intermediate envelopes are discarded (per-commit history
+    granularity is traded away — Kafka compaction's exact contract);
+    this also scrubs superseded payloads from the topic, the
+    topic-side half of the ``delete_where`` GDPR recipe.
+
+    Winners are kept as VERBATIM raw lines (one text read, one
+    ``max_by`` per key, one text write — no re-encoding, so
+    byte-stability of envelopes across compaction is trivial), which
+    is why a run never crosses a ``source.schema_ver`` boundary:
+    consumers parse each window at its single stamped version, so
+    runs are maximal same-version spans (version probed with one slim
+    job over all candidates). Malformed lines are carried through
+    verbatim — compaction must not destroy dead-letter evidence.
+
+    Crash-safe with no gap, ever: the squashed window is written to a
+    temp dir, renamed to ``window-<first a>-<last b>`` (a name no
+    single constituent uses — runs are >=2 windows), and only THEN
+    are the constituents deleted. A crash in between leaves
+    overlapping coverage, which consumers dedupe idempotently (the
+    same property a wider retry window already relies on); a missing
+    middle can never occur.
+
+    ``upto_version``: only compact windows whose span ends at or
+    below it (default: every complete window). The active tail
+    window is naturally excluded unless you pass its end explicitly.
+
+    ``drop_tombstones``: also drop winning DELETE envelopes entirely
+    (full key scrub). Same precondition as tombstone-dropping
+    compaction on the table: every consumer's applied offset must be
+    past the compacted span, otherwise a resuming consumer that held
+    the key from the old prefix would never learn it died — gate
+    ``upto_version`` on the consumer low-water mark exactly as
+    ``expire_envelope_windows`` documents."""
+    spark = source.spark
+    key = source.key_field()
+    key_type = next(f["type"] for f in source.fields()
+                    if f["name"] == key)
+    windows = []
+    if os.path.isdir(out_dir):
+        for fn in sorted(os.listdir(out_dir)):
+            m = _WINDOW_RE.match(fn)
+            if (m and os.path.exists(
+                    os.path.join(out_dir, fn, "_SUCCESS"))
+                    and (upto_version is None
+                         or int(m.group(2)) <= upto_version)):
+                windows.append((int(m.group(1)), int(m.group(2)), fn))
+    windows.sort()
+    if len(windows) < 2:
+        return {"runs_compacted": 0, "windows_in": 0}
+
+    # one slim probe over every candidate gives each window's stamped
+    # schema version (same shape as apply_envelopes' group probe)
+    rows = (spark.read.schema(_SLIM_VER_SCHEMA)
+            .json([os.path.join(out_dir, fn) for _a, _b, fn in windows])
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.max("source.schema_ver").alias("v"))
+            .collect())
+    ver_by_dir: dict[str, int | None] = {}
+    for r in rows:
+        d = os.path.basename(os.path.dirname(
+            unquote(urlparse(r["f"]).path)))
+        v = None if r["v"] is None else int(r["v"])
+        cur = ver_by_dir.get(d)
+        if cur is None or (v is not None and v > cur):
+            ver_by_dir[d] = v
+
+    # maximal runs: contiguous spans (a == previous b) at one version
+    runs: list[list[tuple[int, int, str]]] = []
+    for w in windows:
+        if (runs and runs[-1][-1][1] == w[0]
+                and ver_by_dir.get(runs[-1][-1][2])
+                == ver_by_dir.get(w[2])):
+            runs[-1].append(w)
+        else:
+            runs.append([w])
+    runs = [r for r in runs if len(r) >= 2]
+
+    slim = _slim_probe_schema(key, key_type)
+    compacted = 0
+    windows_in = 0
+    for run in runs:
+        paths = [os.path.join(out_dir, fn) for _a, _b, fn in run]
+        lines = spark.read.text(paths).select(
+            F.col("value"),
+            F.from_json("value", slim).alias("e"),
+        )
+        k = F.coalesce(F.col(f"e.after.{key}"),
+                       F.col(f"e.before.{key}"))
+        bad = (F.col("e").isNull() | F.col("e.op").isNull()
+               | F.col("e.source.lsn").isNull() | k.isNull())
+        is_del = F.col("e.op") == "d"
+        winners = (
+            lines.filter(~bad)
+            .groupBy(k.alias("_k"))
+            .agg(F.max_by(
+                F.struct(F.col("value"), is_del.alias("_d")),
+                F.struct(F.col("e.source.lsn"), is_del)).alias("_w"))
+            .select(F.col("_w.value").alias("value"),
+                    F.col("_w._d").alias("_d"))
+        )
+        if drop_tombstones:
+            winners = winners.filter(~F.col("_d"))
+        out = winners.select("value").unionByName(
+            lines.filter(bad).select("value"))
+        a, b = run[0][0], run[-1][1]
+        final = os.path.join(out_dir, f"window-{a:08d}-{b:08d}")
+        if os.path.exists(final):
+            # a prior wider-retry publish already covers this exact
+            # span — its window supersedes the constituents anyway
+            continue
+        tmp = os.path.join(out_dir, f".compact-tmp-{uuid.uuid4().hex}")
+        # output file count left to AQE partition coalescing — the
+        # winner set is O(live keys in span) and must come out in few
+        # files (re-fragmenting the topic would defeat the point)
+        out.write.mode("overwrite").text(tmp)
+        os.rename(tmp, final)          # coverage now duplicated...
+        for _a, _b, fn in run:          # ...then the constituents go
+            shutil.rmtree(os.path.join(out_dir, fn),
+                          ignore_errors=True)
+        compacted += 1
+        windows_in += len(run)
+    return {"runs_compacted": compacted, "windows_in": windows_in}
 
 
 # ------------------------------------------- replica bootstrap (topic)

@@ -154,6 +154,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refresh-views-every", type=int, default=None,
                    help="(--stream) advance every --view each N "
                         "applied epochs (default 4 when --view given)")
+    p.add_argument("--compact-envelopes", action="store_true",
+                   help="(--maintain, with --envelope-dir) topic log "
+                        "compaction: squash adjacent published windows "
+                        "to per-key winning envelopes (Kafka "
+                        "cleanup.policy=compact analog); bound with "
+                        "--compact-envelopes-upto")
+    p.add_argument("--compact-envelopes-upto", type=int, default=None,
+                   help="only compact windows ending at or below this "
+                        "source version (default: all complete windows)")
+    p.add_argument("--compact-envelopes-drop-tombstones",
+                   action="store_true",
+                   help="also drop winning delete envelopes (full key "
+                        "scrub); requires every consumer to be past "
+                        "the compacted span")
     p.add_argument("--expire-envelopes-to", type=int, default=None,
                    metavar="VERSION",
                    help="(--maintain, with --envelope-dir) topic "
@@ -312,6 +326,17 @@ def main(argv: list[str] | None = None) -> dict:
         if args.gc_orphans_older_than is not None:
             result["gc"] = table.remove_orphans(
                 older_than_s=args.gc_orphans_older_than)
+        if args.compact_envelopes:
+            if not args.envelope_dir:
+                raise SystemExit("--compact-envelopes requires "
+                                 "--envelope-dir")
+            from clinical_trials_etl_spark.cdc.envelope import \
+                compact_envelope_windows
+
+            result["compact_envelopes"] = compact_envelope_windows(
+                table, args.envelope_dir,
+                upto_version=args.compact_envelopes_upto,
+                drop_tombstones=args.compact_envelopes_drop_tombstones)
         if args.expire_envelopes_to is not None:
             if not args.envelope_dir:
                 raise SystemExit("--expire-envelopes-to requires "

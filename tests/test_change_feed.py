@@ -1027,3 +1027,191 @@ def test_envelope_stream_kill_resume_worst_case_window(spark, tmp_path):
     # nothing new: one more invocation is a clean no-op
     res2 = run_envelope_stream(spark, env, rep, ckpt)
     assert res2["epochs"] == 0
+
+
+# ----------------------------------------------- topic log compaction
+
+def test_compact_envelope_windows_squashes_and_scrubs(spark, tmp_path):
+    """Kafka cleanup.policy=compact analog: adjacent windows squash to
+    one window of per-key winning envelopes; a late joiner replaying
+    the compacted topic converges to the identical state, and
+    superseded payloads are scrubbed from the topic bytes."""
+    import os
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        compact_envelope_windows,
+        publish_envelope_window,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "secret-v1", 1, "I"),
+                             ("u2", "b", 2, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u1", "secret-v2", 10, "U"),
+                             ("u3", "c", 11, "I")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u1", "final", 20, "U"),
+                             ("u2", None, 21, "D")]), batch_id="e-3")
+    publish_envelope_window(src, env)
+
+    res = compact_envelope_windows(src, env)
+    assert res == {"runs_compacted": 1, "windows_in": 3}
+    wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
+    assert wins == ["window-00000000-00000003"]
+
+    # a fresh replica from the compacted topic == the source
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    apply_envelopes(rep, env)
+    live = {(r["url"], r["val"]) for r in rep.read().collect()}
+    assert live == {(r["url"], r["val"]) for r in src.read().collect()}
+    assert live == {("u1", "final"), ("u3", "c")}
+
+    # superseded ENVELOPES are gone from the topic bytes (the winner's
+    # own before-image keeps one prior value — Debezium image
+    # semantics; full scrub of a key is drop_tombstones' job); the
+    # winning delete envelope survives so resuming consumers still
+    # learn u2 died
+    blob = ""
+    wdir = os.path.join(env, wins[0])
+    for fn in os.listdir(wdir):
+        if fn.startswith("part-"):
+            with open(os.path.join(wdir, fn)) as f:
+                blob += f.read()
+    assert "secret-v1" not in blob
+    assert blob.count('"u1"') == 2          # ONE u1 envelope (before+after)
+    assert '"op":"d"' in blob
+
+    # idempotent: nothing left to squash (single window)
+    assert compact_envelope_windows(src, env)["runs_compacted"] == 0
+
+
+def test_compact_envelope_windows_tombstone_drop_and_upto(
+        spark, tmp_path):
+    """drop_tombstones scrubs deleted keys entirely (topic-side GDPR);
+    upto_version protects the active tail; a consumer already past
+    the compacted span is untouched by either."""
+    import os
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        compact_envelope_windows,
+        publish_envelope_window,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("gone", "pii", 1, "I"),
+                             ("kept", "x", 2, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("gone", None, 10, "D")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+
+    # a replica already caught up past the span (the drop precondition)
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    apply_envelopes(rep, env)
+
+    src.merge(_batch(spark, [("tail", "t", 20, "I")]), batch_id="e-3")
+    publish_envelope_window(src, env)
+
+    res = compact_envelope_windows(src, env, upto_version=2,
+                                   drop_tombstones=True)
+    assert res == {"runs_compacted": 1, "windows_in": 2}
+    wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
+    assert wins == ["window-00000000-00000002",
+                    "window-00000002-00000003"]  # tail untouched
+    blob = ""
+    for fn in os.listdir(os.path.join(env, wins[0])):
+        if fn.startswith("part-"):
+            with open(os.path.join(env, wins[0], fn)) as f:
+                blob += f.read()
+    assert "gone" not in blob and "pii" not in blob   # full key scrub
+
+    # late joiner: never learns the key existed, still converges live
+    rep2 = LakeTable.create(spark, str(tmp_path / "rep2"), FIELDS,
+                            "url", n_buckets=4)
+    apply_envelopes(rep2, env)
+    assert ({(r["url"], r["val"]) for r in rep2.read().collect()}
+            == {(r["url"], r["val"]) for r in src.read().collect()})
+    # the caught-up replica resumes past the span unaffected
+    v = rep.current_version()
+    apply_envelopes(rep, env)
+    assert {(r["url"], r["val"]) for r in rep.read().collect()} == {
+        (r["url"], r["val"]) for r in src.read().collect()}
+    assert rep.current_version() == v + 1   # only the tail window
+
+
+def test_compact_envelope_windows_respects_schema_boundary_and_badlines(
+        spark, tmp_path):
+    """Runs never cross a source.schema_ver boundary (each window is
+    parsed at ONE stamped version), and malformed lines ride through
+    compaction verbatim — dead-letter evidence is never destroyed."""
+    import os
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        compact_envelope_windows,
+        publish_envelope_window,
+    )
+
+    registry = {
+        1: [dict(f) for f in FIELDS],
+        2: [dict(f) for f in FIELDS]
+        + [{"id": 3, "name": "extra", "type": "string"}],
+    }
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=4)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u2", "b", 2, "I")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+    # evolve to v2, then two more windows stamped at v2
+    src.evolve(registry[2], note="add extra", registry_ver=2)
+    src.merge(spark.createDataFrame(
+        [("u3", "c", "e3", 10, "I"), ("u1", "a2", "e1", 11, "U")],
+        "url string, val string, extra string, lsn long, op string"),
+        batch_id="e-3")
+    publish_envelope_window(src, env)
+    src.merge(spark.createDataFrame(
+        [("u4", "d", "e4", 20, "I")],
+        "url string, val string, extra string, lsn long, op string"),
+        batch_id="e-4")
+    publish_envelope_window(src, env)
+
+    # plant a malformed line in a v1 window (simulated torn upload;
+    # a fresh file — appending to a Spark-written part would break
+    # its .crc sidecar, which is a different failure class)
+    w1 = sorted(d for d in os.listdir(env))[0]
+    with open(os.path.join(env, w1, "part-zz-torn.json"), "w") as f:
+        f.write('{"torn upload\n')
+
+    res = compact_envelope_windows(src, env)
+    assert res == {"runs_compacted": 2, "windows_in": 4}
+    wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
+    assert wins == ["window-00000000-00000002",   # the v1 run
+                    "window-00000002-00000005"]   # the v2 run
+    blob = ""
+    for fn in os.listdir(os.path.join(env, wins[0])):
+        if fn.startswith("part-"):
+            with open(os.path.join(env, wins[0], fn)) as f:
+                blob += f.read()
+    assert '{"torn upload' in blob                # evidence survives
+
+    # replica from the compacted mixed-version topic: evolves at the
+    # boundary, quarantines the bad line, converges
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    q = str(tmp_path / "quarantine")
+    res2 = apply_envelopes(rep, env, registry=registry,
+                           quarantine_dir=q, windows_per_commit=1)
+    assert res2["quarantined"] == 1
+    assert ({(r["url"], r["val"], r["extra"])
+             for r in rep.read().collect()}
+            == {(r["url"], r["val"], r["extra"])
+                for r in src.read().collect()})

@@ -413,3 +413,46 @@ def test_job_maintain_row_ops(spark, tmp_path):
     assert res["delete_where"]["deleted_rows"] == n_victim
     assert t.read().count() == n_total - n_victim
     assert t.read().filter(F.col("url").contains(victim_host)).count() == 0
+
+
+def test_job_maintain_compacts_envelope_topic(spark, tmp_path):
+    """--maintain --compact-envelopes: topic log compaction runs on
+    the same out-of-band maintenance pass; a replica built from the
+    compacted topic converges to the source."""
+    import os
+
+    from clinical_trials_etl_spark.cdc.envelope import apply_envelopes
+    from clinical_trials_etl_spark.lake.table import LakeTable
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        publish_envelope_window,
+    )
+    from clinical_trials_etl_spark.cdc.replay import replay
+
+    log_dir = str(tmp_path / "log_ec")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=4)
+    root = str(tmp_path / "t_ec")
+    env = str(tmp_path / "env_ec")
+    # replay, then row-level corrections — a published window each
+    t = replay(spark, log_dir, root)
+    publish_envelope_window(t, env)
+    t.update_where("url LIKE '%1'", {"language": "'zz'"})
+    publish_envelope_window(t, env)
+    t.delete_where("language = 'zz'")
+    publish_envelope_window(t, env)
+    n_before = len([d for d in os.listdir(env)
+                    if d.startswith("window-")])
+    assert n_before == 3
+
+    res = main(["--table", root, "--maintain",
+                "--envelope-dir", env, "--compact-envelopes"])
+    ce = res["compact_envelopes"]
+    assert ce["runs_compacted"] >= 1
+    assert len([d for d in os.listdir(env)
+                if d.startswith("window-")]) < n_before
+    rep_root = str(tmp_path / "rep_ec")
+    rep = LakeTable.create(spark, rep_root, t.fields(), t.key_field(),
+                           n_buckets=4)
+    apply_envelopes(rep, env)
+    assert ({r["url"]: r["text"] for r in rep.read().collect()}
+            == {r["url"]: r["text"] for r in t.read().collect()})
