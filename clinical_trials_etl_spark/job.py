@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--expire-keep", type=int, default=None,
                    help="(--maintain) after compaction, expire snapshots "
                         "keeping the last N readable (tags always kept)")
+    p.add_argument("--expire-older-than", type=float, default=None,
+                   help="(--maintain, with --expire-keep) ALSO keep "
+                        "every snapshot committed within the last N "
+                        "seconds — age-based time-travel retention "
+                        "with --expire-keep as the floor")
     p.add_argument("--gc-orphans-older-than", type=float, default=None,
                    help="(--maintain) after expiry, delete crash-stranded "
                         "files no snapshot references and older than "
@@ -322,7 +327,8 @@ def main(argv: list[str] | None = None) -> dict:
         result["compact"] = compacted
         if args.expire_keep is not None:
             result["expire"] = table.expire_snapshots(
-                keep_last=args.expire_keep)
+                keep_last=args.expire_keep,
+                older_than_s=args.expire_older_than)
         if args.gc_orphans_older_than is not None:
             result["gc"] = table.remove_orphans(
                 older_than_s=args.gc_orphans_older_than)

@@ -2212,11 +2212,20 @@ class LakeTable:
             ]
         return out
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2,
+                         older_than_s: float | None = None) -> dict:
         """Delete data files no snapshot in the retained window
         references (Iceberg expire_snapshots analog). Keeps the last
         ``keep_last`` snapshots readable (time travel window); older
         snapshot JSONs remain (tiny) but their exclusive files go.
+        ``older_than_s`` ADDS age-based retention (Iceberg
+        ``expire_snapshots(older_than=ts, retain_last=N)``): every
+        snapshot committed within the last ``older_than_s`` seconds is
+        also kept, with ``keep_last`` as the floor — 'keep 72 hours of
+        time travel, and never fewer than 2 snapshots'. Commit
+        timestamps are stamped at snapshot-link time and monotone in
+        version, so the age walk stops at the first too-old snapshot
+        (O(retained) metadata reads).
         Tagged versions are ALWAYS retained — a tag is an explicit pin
         that outranks the sliding window (Iceberg ref-aware snapshot
         retention), so audit/repro reads stay valid until the tag is
@@ -2226,12 +2235,21 @@ class LakeTable:
         or dropped)."""
         self._require_main("expire_snapshots")
         current = self.current_version()
+        window = {
+            v
+            for v in range(max(0, current - keep_last + 1), current + 1)
+            if os.path.exists(self._snap_path(v))
+        }
+        if older_than_s is not None:
+            cutoff = time.time() - older_than_s
+            for v in range(current, -1, -1):
+                if not os.path.exists(self._snap_path(v)):
+                    continue
+                if self.snapshot(v).get("committed_at", 0) < cutoff:
+                    break  # monotone timestamps: everything below is older
+                window.add(v)
         keep_versions = sorted(
-            {
-                v
-                for v in range(max(0, current - keep_last + 1), current + 1)
-                if os.path.exists(self._snap_path(v))
-            }
+            window
             | {
                 v for v in self.tags().values()
                 if os.path.exists(self._snap_path(v))

@@ -325,3 +325,43 @@ def test_read_as_of_timestamp_time_travel(spark, tmp_path):
     os.remove(table._snap_path(2))
     with pytest.raises(ValueError, match="missing from the metadata"):
         table.version_as_of(mid)
+
+
+def test_expire_snapshots_age_based_retention(spark, tmp_path):
+    """older_than_s keeps every snapshot committed within the window
+    (keep_last is the floor): 'N hours of time travel, never fewer
+    than K snapshots' — and versions outside both windows lose their
+    exclusive files."""
+    import glob as g
+
+    table = create_pages_table(spark, str(tmp_path / "t_age"),
+                               n_buckets=2)
+    for i in range(5):
+        apply_batch(
+            table, _batch(spark, i * 10, [f"https://h{i % 2}.x/p"]),
+            f"e-{i}"
+        )
+    cur = table.current_version()
+    # huge age window: every snapshot is inside it -> nothing removed
+    stats = table.expire_snapshots(keep_last=1, older_than_s=3600.0)
+    assert stats["removed_files"] == 0
+    assert table.read(cur - 4).count() >= 0   # oldest still readable
+
+    # age the older snapshots artificially (monotonicity preserved)
+    import json as _json
+    for v in range(0, cur - 1):
+        p = table._snap_path(v)
+        snap = _json.load(open(p))
+        snap["committed_at"] -= 7200.0
+        _json.dump(snap, open(p, "w"))
+    n_before = len(g.glob(str(tmp_path / "t_age" / "data" / "**"
+                              / "*.parquet"), recursive=True))
+    stats = table.expire_snapshots(keep_last=1, older_than_s=3600.0)
+    # keep_last=1 alone would keep only the head; the age window
+    # additionally keeps cur-1 (still recent), everything older goes
+    assert stats["removed_files"] > 0
+    assert len(g.glob(str(tmp_path / "t_age" / "data" / "**"
+                          / "*.parquet"), recursive=True)) < n_before
+    assert table.read(cur - 1).count() >= 1   # in the age window
+    assert ({r["url"] for r in table.read().collect()}
+            == {r["url"] for r in table.read(cur).collect()})
