@@ -810,6 +810,67 @@ def compact_envelope_windows(source: LakeTable, out_dir: str,
     return {"runs_compacted": compacted, "windows_in": windows_in}
 
 
+_TOPIC_WINDOWS_SCHEMA = T.StructType([
+    T.StructField("window", T.StringType()),
+    T.StructField("from_version", T.LongType()),
+    T.StructField("to_version", T.LongType()),
+    T.StructField("complete", T.BooleanType()),
+    T.StructField("files", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+    T.StructField("schema_ver", T.LongType()),
+])
+
+
+def topic_windows_df(spark, env_dir: str,
+                     with_schema_ver: bool = False) -> DataFrame:
+    """The topic as a queryable relation — the metadata-tables surface
+    (`lake/metadata.py`) extended to the envelope side: one row per
+    window directory with its span, completeness (`_SUCCESS`), file
+    count and bytes (driver-side listing, O(windows) — never a data
+    read), and optionally the stamped ``source.schema_ver`` (ONE slim
+    probe job over every complete window; off by default so the
+    listing itself stays I/O-free). Feed it to retention/compaction
+    decisions: the low-water sweep bound, runs eligible for
+    compaction, a late consumer's re-bootstrap horizon."""
+    rows = []
+    vers: dict[str, int | None] = {}
+    complete_paths = []
+    if os.path.isdir(env_dir):
+        for fn in sorted(os.listdir(env_dir)):
+            m = _WINDOW_RE.match(fn)
+            if not m:
+                continue
+            path = os.path.join(env_dir, fn)
+            done = os.path.exists(os.path.join(path, "_SUCCESS"))
+            if done and with_schema_ver:
+                complete_paths.append(path)
+            n_files = n_bytes = 0
+            for part in os.listdir(path):
+                if part.startswith("part-"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(
+                        os.path.join(path, part))
+            rows.append([fn, int(m.group(1)), int(m.group(2)), done,
+                         n_files, n_bytes, None])
+    if complete_paths:
+        probed = (spark.read.schema(_SLIM_VER_SCHEMA)
+                  .json(complete_paths)
+                  .groupBy(F.input_file_name().alias("f"))
+                  .agg(F.max("source.schema_ver").alias("v"))
+                  .collect())
+        for r in probed:
+            d = os.path.basename(os.path.dirname(
+                unquote(urlparse(r["f"]).path)))
+            v = None if r["v"] is None else int(r["v"])
+            cur = vers.get(d)
+            if cur is None or (v is not None and v > cur):
+                vers[d] = v
+        for row in rows:
+            row[6] = vers.get(row[0])
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], _TOPIC_WINDOWS_SCHEMA)
+
+
 # ------------------------------------------- replica bootstrap (topic)
 
 

@@ -283,6 +283,22 @@ def main(argv: list[str] | None = None) -> dict:
                       * len(parts) / total_bytes, 2)
                 if total_bytes else None),
         }
+        if args.envelope_dir:
+            from clinical_trials_etl_spark.cdc.envelope import (
+                last_published,
+                topic_windows_df,
+            )
+
+            wins = topic_windows_df(spark, args.envelope_dir).collect()
+            result["topic"] = {
+                "windows": len(wins),
+                "complete": sum(1 for w in wins if w["complete"]),
+                "bytes": sum(w["bytes"] for w in wins),
+                "high_water": last_published(args.envelope_dir),
+                "low_water": min(
+                    (w["from_version"] for w in wins
+                     if w["complete"]), default=None),
+            }
         print(json.dumps(result))
         return result
 

@@ -1215,3 +1215,44 @@ def test_compact_envelope_windows_respects_schema_boundary_and_badlines(
              for r in rep.read().collect()}
             == {(r["url"], r["val"], r["extra"])
                 for r in src.read().collect()})
+
+
+def test_topic_windows_df_inspection(spark, tmp_path):
+    """The topic as a queryable relation: spans, completeness, sizes,
+    and (opt-in, one probe job) each window's stamped schema_ver."""
+    import os
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        publish_envelope_window,
+        topic_windows_df,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=2)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.merge(_batch(spark, [("u2", "b", 2, "I")]), batch_id="e-2")
+    publish_envelope_window(src, env)
+    # an incomplete (crashed) window: no _SUCCESS
+    os.makedirs(os.path.join(env, "window-00000002-00000009"))
+
+    rows = {r["window"]: r for r in
+            topic_windows_df(spark, env, with_schema_ver=True).collect()}
+    assert len(rows) == 3
+    w1 = rows["window-00000000-00000001"]
+    assert (w1["from_version"], w1["to_version"]) == (0, 1)
+    assert w1["complete"] and w1["files"] >= 1 and w1["bytes"] > 0
+    assert w1["schema_ver"] == 1
+    torn = rows["window-00000002-00000009"]
+    assert not torn["complete"] and torn["files"] == 0
+    assert torn["schema_ver"] is None
+
+    # the job's --describe surfaces the topic summary
+    from clinical_trials_etl_spark.job import main
+    d = main(["--table", str(tmp_path / "src"), "--describe",
+              "--envelope-dir", env])
+    assert d["topic"] == {"windows": 3, "complete": 2,
+                          "bytes": w1["bytes"]
+                          + rows["window-00000001-00000002"]["bytes"],
+                          "high_water": 2, "low_water": 0}
