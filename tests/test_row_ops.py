@@ -309,3 +309,95 @@ def test_fence_guard_zero_cost_without_corrections(spark, tmp_path):
         (1, "I", "u1", None, b"<p>a</p>", "en", None, None, 1),
     ]), "b1")
     assert "correction_fences" not in t.snapshot()
+
+
+def test_row_ops_on_branch_publish_via_fast_forward(spark, tmp_path):
+    """Corrections compose with branches: stage a GDPR delete on an
+    audit branch, inspect, fast-forward — main absorbs it as one net
+    commit; aborting instead (drop_branch) leaves main untouched."""
+    t = _make(spark, tmp_path)
+    t.create_branch("audit")
+    bt = t.branch("audit")
+    bt.delete_where("host = 'h1'")
+    bt.update_where("host = 'h0'", {"val": "val + 1000"})
+    # main sees nothing yet
+    assert set(_state(t)) == {f"u{i}" for i in range(6)}
+    assert _state(bt)["u0"] == ("h0", 1000)
+    t.fast_forward("audit")
+    got = _state(t)
+    assert set(got) == {"u0", "u2", "u4"}
+    assert got["u2"] == ("h0", 1020)
+    # the branch's correction fence traveled to main with the publish
+    assert [p[0] for p in t.snapshot()["correction_fences"]] == [7]
+
+
+def test_row_ops_randomized_fold_equivalence(spark, tmp_path):
+    """Randomized sweep: an arbitrary interleaving of upstream merges
+    (cow/delta), delete_where, update_where, and compaction must equal
+    an independent pure-Python fold applying the documented rules —
+    max-(lsn, deleted) winners, delete at own lsn (tie -> deleted),
+    update at fence = max stored lsn + 1."""
+    import random
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        t = LakeTable.create(spark, str(tmp_path / f"r{seed}"), FIELDS,
+                             "url", n_buckets=4)
+        # oracle: url -> [lsn, host, val, deleted]
+        state: dict[str, list] = {}
+        next_lsn = 1
+
+        def upstream(n):
+            nonlocal next_lsn
+            rows = []
+            for _ in range(n):
+                u = f"u{rng.randrange(8)}"
+                op = rng.choice(["I", "U", "U", "D"])
+                # mix in-order and late (stale) lsns
+                lsn = (next_lsn if rng.random() < 0.8
+                       else max(1, next_lsn - rng.randrange(1, 6)))
+                next_lsn = max(next_lsn, lsn) + 1
+                host = f"h{rng.randrange(3)}"
+                val = rng.randrange(100)
+                rows.append((u, None if op == "D" else host,
+                             None if op == "D" else val, lsn, op))
+                cur = state.get(u)
+                cand = (lsn, op == "D")
+                if cur is None or cand > (cur[0], cur[3]):
+                    state[u] = [lsn, host, val, op == "D"]
+            return rows
+
+        batch_n = 0
+        for _step in range(12):
+            kind = rng.choice(["merge", "merge", "merge",
+                               "delete", "update", "compact"])
+            mode = rng.choice(["cow", "delta"])
+            if kind == "merge":
+                batch_n += 1
+                t.merge(_batch(spark, upstream(rng.randrange(1, 6))),
+                        batch_id=f"e-{batch_n}", mode=mode,
+                        source_unique=False)
+            elif kind == "compact":
+                t.compact()
+            elif kind == "delete":
+                h = f"h{rng.randrange(3)}"
+                t.delete_where(f"host = '{h}'", mode=mode)
+                for u, s in state.items():
+                    if not s[3] and s[1] == h:
+                        s[3], s[1], s[2] = True, None, None
+            else:
+                h = f"h{rng.randrange(3)}"
+                fence = max((s[0] for s in state.values()),
+                            default=-1) + 1
+                matched = False
+                for u, s in state.items():
+                    if not s[3] and s[1] == h:
+                        s[0], s[2], matched = fence, s[2] + 1, True
+                if matched:
+                    next_lsn = max(next_lsn, fence + 1)
+                t.update_where(f"host = '{h}'", {"val": "val + 1"},
+                               mode=mode)
+            got = _state(t)
+            want = {u: (s[1], s[2]) for u, s in state.items()
+                    if not s[3]}
+            assert got == want, (seed, _step, kind, got, want)
