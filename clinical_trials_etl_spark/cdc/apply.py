@@ -36,10 +36,7 @@ from clinical_trials_etl_spark.functions.html_extract import (
     extract_text_udf,
     fill_text_udf,
 )
-from clinical_trials_etl_spark.lake.table import (
-    CorrectionFenceCollision,
-    LakeTable,
-)
+from clinical_trials_etl_spark.lake.table import LakeTable
 
 # Dedup plan selector (measured — bench_skew.py + BENCH/BASELINE.md):
 # max_by's map-side partial aggregation already neutralizes hot keys, so
@@ -232,43 +229,6 @@ def fill_text_post_winner(df: DataFrame) -> DataFrame:
     )
 
 
-def _check_fence_collisions(table: LakeTable, batch: DataFrame,
-                            fences: dict[int, int],
-                            hit_lsns: list[int]) -> None:
-    """An incoming batch carries events at one or more correction
-    fence LSNs (see ``LakeTable.update_where``). Ambiguity exists only
-    when such an event targets a key the correction itself rewrote —
-    semi-join each hit LSN's events against the correction commit's
-    own fence-stamped rows (a handful of rows on both sides; the
-    correction side is one bucket-file metadata read). Raises
-    ``CorrectionFenceCollision`` on any intersection, or
-    conservatively when the correction commit's files were expired
-    (the key set is no longer knowable)."""
-    key = table.key_field()
-    for lsn in hit_lsns:
-        corrected = table._correction_keys(fences[lsn], lsn)
-        if corrected is None:
-            raise CorrectionFenceCollision(
-                f"batch carries events at correction-fence LSN {lsn} "
-                f"(commit v{fences[lsn]}), and that commit's files "
-                f"were expired — the corrected key set is unknowable; "
-                f"resolve manually (re-run the correction above this "
-                f"LSN or drop the event)")
-        n = (batch.filter(F.col("lsn") == lsn)
-             .select(F.col(key))
-             .join(corrected, key, "left_semi")
-             .count())
-        if n:
-            raise CorrectionFenceCollision(
-                f"batch carries {n} event(s) at LSN {lsn} for key(s) "
-                f"a lake-side correction (commit v{fences[lsn]}) "
-                f"stamped at that same LSN — max-(lsn, deleted) "
-                f"reconciliation cannot order two payloads at one "
-                f"(key, lsn); re-run the correction on top of the new "
-                f"event (update_where again) or drop the event, then "
-                f"resume the stream")
-
-
 def apply_batch(
     table: LakeTable,
     batch: DataFrame,
@@ -305,8 +265,6 @@ def apply_batch(
     # preserves the url set, so the hint is exact). Round 1 ran these as
     # two separate jobs — two full-batch scan barriers per micro-batch,
     # the dominant fixed cost at small batch sizes.
-    fences = {int(p[0]): int(p[1])
-              for p in snap.get("correction_fences", [])}
     meta = batch.agg(
         F.max("schema_ver").alias("_mx"),
         F.collect_set(
@@ -314,18 +272,11 @@ def apply_batch(
         ).alias("_buckets"),
         F.min("lsn").alias("_lsn_lo"),
         F.max("lsn").alias("_lsn_hi"),
-        # fence-collision probe: only built when a lake-side
-        # correction ever ran on this table (update_where) — zero
-        # cost otherwise. Exact LSN membership, not range overlap.
-        *([F.collect_set(
-            F.when(F.col("lsn").isin(list(fences)), F.col("lsn"))
-        ).alias("_fence_hits")] if fences else []),
     ).collect()[0]
     touched = set(meta["_buckets"])
-    if fences and meta["_fence_hits"]:
-        _check_fence_collisions(
-            table, batch, fences,
-            [int(x) for x in meta["_fence_hits"]])
+    # correction-fence collisions are guarded inside LakeTable.merge
+    # itself (every event channel — stream apply, envelope replicas,
+    # mirrors — not just this one), see _guard_correction_fences
     # per-commit lineage carries the SOURCE OFFSET RANGE (north rule:
     # offset range -> snapshot-id -> row counts); free — same single
     # metadata aggregation job

@@ -176,6 +176,43 @@ def last_published(out_dir: str) -> int:
     return best
 
 
+def _list_complete_windows(out_dir: str) -> list[tuple[int, int, str]]:
+    """Every complete (``_SUCCESS``-marked) window under ``out_dir``
+    as sorted ``(from_version, to_version, dirname)`` tuples — the one
+    window-scan every topic operation shares."""
+    out = []
+    if os.path.isdir(out_dir):
+        for fn in sorted(os.listdir(out_dir)):
+            m = _WINDOW_RE.match(fn)
+            if m and os.path.exists(os.path.join(out_dir, fn, "_SUCCESS")):
+                out.append((int(m.group(1)), int(m.group(2)), fn))
+    out.sort()
+    return out
+
+
+def _probe_window_versions(spark, paths: list[str]) -> dict[str, int | None]:
+    """One slim job over ``paths`` (window directories) answering each
+    window's stamped ``source.schema_ver`` — keyed by directory
+    basename; a window absent from the result (empty: maintenance-only
+    publish) or stamped None (legacy) maps to None."""
+    if not paths:
+        return {}
+    rows = (spark.read.schema(_SLIM_VER_SCHEMA)
+            .json(paths)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.max("source.schema_ver").alias("v"))
+            .collect())
+    out: dict[str, int | None] = {}
+    for r in rows:
+        d = os.path.basename(os.path.dirname(
+            unquote(urlparse(r["f"]).path)))
+        v = None if r["v"] is None else int(r["v"])
+        cur = out.get(d)
+        if cur is None or (v is not None and v > cur):
+            out[d] = v
+    return out
+
+
 def publish_envelope_window(source: LakeTable, out_dir: str) -> dict | None:
     """Publish the next envelope window: versions
     ``(last_published, current]`` into
@@ -360,14 +397,7 @@ def apply_envelopes(target: LakeTable, env_dir: str,
     offset still advances (quarantine is visible in the result and the
     commit lineage, so the gap is auditable, not silent)."""
     applied_hwm = int(target.snapshot()["batch_hwm"].get("env-", -1))
-    windows = []
-    if os.path.isdir(env_dir):
-        for fn in sorted(os.listdir(env_dir)):
-            m = _WINDOW_RE.match(fn)
-            if m and os.path.exists(os.path.join(env_dir, fn, "_SUCCESS")):
-                windows.append((int(m.group(1)), int(m.group(2)), fn))
-    windows.sort()
-
+    windows = _list_complete_windows(env_dir)
     pending = [(a, b, fn) for a, b, fn in windows if b > applied_hwm]
     step = windows_per_commit or max(1, len(pending))
     groups = [pending[i:i + step] for i in range(0, len(pending), step)]
@@ -706,7 +736,10 @@ def compact_envelope_windows(source: LakeTable, out_dir: str,
     are the constituents deleted. A crash in between leaves
     overlapping coverage, which consumers dedupe idempotently (the
     same property a wider retry window already relies on); a missing
-    middle can never occur.
+    middle can never occur — and the next compaction pass FINISHES
+    the interrupted cleanup: its startup sweep deletes any complete
+    window fully covered by another complete window, so the span
+    becomes run-eligible again instead of staying fragmented.
 
     ``upto_version``: only compact windows whose span ends at or
     below it (default: every complete window). The active tail
@@ -723,44 +756,53 @@ def compact_envelope_windows(source: LakeTable, out_dir: str,
     key = source.key_field()
     key_type = next(f["type"] for f in source.fields()
                     if f["name"] == key)
-    windows = []
-    if os.path.isdir(out_dir):
-        for fn in sorted(os.listdir(out_dir)):
-            m = _WINDOW_RE.match(fn)
-            if (m and os.path.exists(
-                    os.path.join(out_dir, fn, "_SUCCESS"))
-                    and (upto_version is None
-                         or int(m.group(2)) <= upto_version)):
-                windows.append((int(m.group(1)), int(m.group(2)), fn))
-    windows.sort()
+
+    # startup sweep: a crash between a prior compaction's rename and
+    # its constituent deletes leaves complete windows fully covered by
+    # another complete window — harmless to consumers (idempotent
+    # fold) but it blocks the span from ever forming a run again, and
+    # every late joiner replays it twice. Finish the interrupted
+    # delete here.
+    all_wins = _list_complete_windows(out_dir)
+    swept = 0
+    for a, b, fn in all_wins:
+        if any(oa <= a and b <= ob and ofn != fn
+               for oa, ob, ofn in all_wins):
+            shutil.rmtree(os.path.join(out_dir, fn),
+                          ignore_errors=True)
+            swept += 1
+    if swept:
+        all_wins = _list_complete_windows(out_dir)
+
+    windows = [(a, b, fn) for a, b, fn in all_wins
+               if upto_version is None or b <= upto_version]
     if len(windows) < 2:
-        return {"runs_compacted": 0, "windows_in": 0}
+        return {"runs_compacted": 0, "windows_in": 0,
+                "overlaps_swept": swept}
 
     # one slim probe over every candidate gives each window's stamped
-    # schema version (same shape as apply_envelopes' group probe)
-    rows = (spark.read.schema(_SLIM_VER_SCHEMA)
-            .json([os.path.join(out_dir, fn) for _a, _b, fn in windows])
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(F.max("source.schema_ver").alias("v"))
-            .collect())
-    ver_by_dir: dict[str, int | None] = {}
-    for r in rows:
-        d = os.path.basename(os.path.dirname(
-            unquote(urlparse(r["f"]).path)))
-        v = None if r["v"] is None else int(r["v"])
-        cur = ver_by_dir.get(d)
-        if cur is None or (v is not None and v > cur):
-            ver_by_dir[d] = v
+    # schema version (same job shape as apply_envelopes' group probe)
+    ver_by_dir = _probe_window_versions(
+        spark, [os.path.join(out_dir, fn) for _a, _b, fn in windows])
 
-    # maximal runs: contiguous spans (a == previous b) at one version
+    # maximal runs: contiguous spans (a == previous b) whose stamped
+    # versions are COMPATIBLE — a None-version window (empty
+    # maintenance-only publish, or legacy unstamped) has no rows to
+    # parse, so it joins a run at any version instead of fragmenting
+    # the topic around every maintenance pass
     runs: list[list[tuple[int, int, str]]] = []
+    run_vers: list[int | None] = []
     for w in windows:
+        v = ver_by_dir.get(w[2])
         if (runs and runs[-1][-1][1] == w[0]
-                and ver_by_dir.get(runs[-1][-1][2])
-                == ver_by_dir.get(w[2])):
+                and (v is None or run_vers[-1] is None
+                     or v == run_vers[-1])):
             runs[-1].append(w)
+            if run_vers[-1] is None:
+                run_vers[-1] = v
         else:
             runs.append([w])
+            run_vers.append(v)
     runs = [r for r in runs if len(r) >= 2]
 
     slim = _slim_probe_schema(key, key_type)
@@ -807,7 +849,8 @@ def compact_envelope_windows(source: LakeTable, out_dir: str,
                           ignore_errors=True)
         compacted += 1
         windows_in += len(run)
-    return {"runs_compacted": compacted, "windows_in": windows_in}
+    return {"runs_compacted": compacted, "windows_in": windows_in,
+            "overlaps_swept": swept}
 
 
 _TOPIC_WINDOWS_SCHEMA = T.StructType([
@@ -853,18 +896,7 @@ def topic_windows_df(spark, env_dir: str,
             rows.append([fn, int(m.group(1)), int(m.group(2)), done,
                          n_files, n_bytes, None])
     if complete_paths:
-        probed = (spark.read.schema(_SLIM_VER_SCHEMA)
-                  .json(complete_paths)
-                  .groupBy(F.input_file_name().alias("f"))
-                  .agg(F.max("source.schema_ver").alias("v"))
-                  .collect())
-        for r in probed:
-            d = os.path.basename(os.path.dirname(
-                unquote(urlparse(r["f"]).path)))
-            v = None if r["v"] is None else int(r["v"])
-            cur = vers.get(d)
-            if cur is None or (v is not None and v > cur):
-                vers[d] = v
+        vers = _probe_window_versions(spark, complete_paths)
         for row in rows:
             row[6] = vers.get(row[0])
     return spark.createDataFrame(

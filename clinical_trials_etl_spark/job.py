@@ -110,6 +110,17 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="COL=SQL_EXPR",
                    help="(--update-where) assignment, repeatable; the "
                         "expression sees the old row's columns")
+    p.add_argument("--op-id", default=None, metavar="ID",
+                   help="(--delete-where/--update-where) idempotence "
+                        "id for the row op (LakeTable batch_id): "
+                        "rerunning a crashed maintenance job with the "
+                        "same --op-id makes an already-committed "
+                        "correction a metadata no-op instead of "
+                        "double-applying a non-idempotent assignment "
+                        "(val = val + 1). Use a fresh id per intended "
+                        "correction, e.g. a ticket number. With both "
+                        "ops in one invocation, the update commits as "
+                        "<ID>-u-1 and the delete as <ID>-d-1")
     p.add_argument("--envelope-dir", default=None,
                    help="(--stream) publish Debezium-style JSON-Lines "
                         "change envelopes under this directory on the "
@@ -329,10 +340,12 @@ def main(argv: list[str] | None = None) -> dict:
                         f"--update-set wants COL=SQL_EXPR, got {spec!r}")
                 assignments[col.strip()] = expr.strip()
             result["update_where"] = table.update_where(
-                args.update_where, assignments, mode=row_op_mode)
+                args.update_where, assignments, mode=row_op_mode,
+                batch_id=(f"{args.op_id}-u-1" if args.op_id else None))
         if args.delete_where:
             result["delete_where"] = table.delete_where(
-                args.delete_where, mode=row_op_mode)
+                args.delete_where, mode=row_op_mode,
+                batch_id=(f"{args.op_id}-d-1" if args.op_id else None))
         compacted = table.compact(
             max_files_per_bucket=args.max_files_per_bucket,
             sort_by=args.compact_sort_by,
@@ -341,13 +354,23 @@ def main(argv: list[str] | None = None) -> dict:
             rows_per_file=args.compact_rows_per_file,
         )
         result["compact"] = compacted
-        if args.expire_keep is not None:
+        if (args.expire_keep is not None
+                or args.expire_older_than is not None):
+            # --expire-older-than alone implies the default keep_last
+            # floor — it must never be silently ignored
             result["expire"] = table.expire_snapshots(
-                keep_last=args.expire_keep,
+                keep_last=(2 if args.expire_keep is None
+                           else args.expire_keep),
                 older_than_s=args.expire_older_than)
         if args.gc_orphans_older_than is not None:
             result["gc"] = table.remove_orphans(
                 older_than_s=args.gc_orphans_older_than)
+        if ((args.compact_envelopes_upto is not None
+             or args.compact_envelopes_drop_tombstones)
+                and not args.compact_envelopes):
+            raise SystemExit("--compact-envelopes-upto/"
+                             "--compact-envelopes-drop-tombstones "
+                             "require --compact-envelopes")
         if args.compact_envelopes:
             if not args.envelope_dir:
                 raise SystemExit("--compact-envelopes requires "

@@ -228,12 +228,12 @@ def delete_where_statement(table_name: str, fields: list[dict],
     Iceberg deployment that form is the *final erasure* step (the
     twin of tombstone + compact + expire), not the live-table
     correction."""
-    nulls = ",\n    ".join(f"{f['name']} = NULL" for f in fields
-                           if f["name"] != key)
+    nulls = "".join(f",\n    {f['name']} = NULL" for f in fields
+                    if f["name"] != key)
     return (
         f"UPDATE {table_name} SET\n"
-        f"    _deleted = true,\n"
-        f"    {nulls}\n"
+        f"    _deleted = true"
+        f"{nulls}\n"
         f"WHERE NOT _deleted AND ({predicate})"
     )
 
@@ -246,6 +246,10 @@ def update_where_statement(table_name: str, assignments: dict,
     max-(lsn, deleted) ordering vs future upstream events is
     identical to the stand-in's (correction wins until a strictly
     newer source event)."""
+    if not assignments:
+        raise ValueError("update_where_statement needs at least one "
+                         "assignment (the engine twin validates the "
+                         "same)")
     sets = ",\n    ".join(f"{c} = {expr}"
                           for c, expr in assignments.items())
     return (

@@ -2850,6 +2850,11 @@ class LakeTable:
                 r[0] for r in src.select(SYS_BUCKET).distinct().collect()
             }
 
+        fences = {int(p[0]): int(p[1])
+                  for p in snap.get("correction_fences", [])}
+        if fences:
+            self._guard_correction_fences(snap, src, fences)
+
         if mode == "cow":
             merged = self._cow_merged(
                 snap, src, key, touched, fill, source_unique)
@@ -3230,6 +3235,9 @@ class LakeTable:
         key = self.key_field(snap)
         fields = self.fields(snap)
         names = {f["name"] for f in fields}
+        if not assignments:
+            raise ValueError("update_where needs at least one "
+                             "assignment")
         if key in assignments:
             raise ValueError(
                 f"cannot assign the key column {key!r} — delete the "
@@ -3269,6 +3277,56 @@ class LakeTable:
             touched_hint=touched, mode=mode, source_unique=True,
             wap_id=wap_id, add_correction_fence=fence)
         return {**res, "updated_rows": n, "fence_lsn": fence}
+
+    def _guard_correction_fences(self, snap: dict, src: DataFrame,
+                                 fences: dict[int, int]) -> None:
+        """Refuse the one genuinely ambiguous event: a NON-delete
+        source row at a correction fence LSN for a key that correction
+        rewrote (two different payloads at one (key, lsn) — see
+        ``update_where``). Lives on the MERGE itself so every event
+        channel is covered — the streaming apply, envelope-topic
+        replicas, mirrors, bootstrap — not just one consumer. Delete
+        events at a fence are exempt: the (lsn, deleted) ordering
+        resolves them deterministically (tombstone outranks the
+        correction at its own LSN — matching source intent), and
+        ``delete_where`` itself tombstones corrected rows at their
+        fence LSN through this same code path.
+
+        Cost: one narrow probe action per merge, only on tables where
+        a correction ever ran (no fences -> never called); the probe
+        prunes to (key, lsn, deleted), so the source pipeline's
+        payload work does not rerun."""
+        key = self.key_field(snap)
+        hit = (src.filter(
+            F.col(SYS_LSN).isin([int(x) for x in fences])
+            & ~F.col(SYS_DELETED))
+            .groupBy(SYS_LSN).agg(F.count(F.lit(1)).alias("_n"))
+            .collect())
+        for r in hit:
+            lsn = int(r[SYS_LSN])
+            corrected = self._correction_keys(fences[lsn], lsn)
+            if corrected is None:
+                raise CorrectionFenceCollision(
+                    f"batch carries events at correction-fence LSN "
+                    f"{lsn} (commit v{fences[lsn]}), and that "
+                    f"commit's files were expired — the corrected key "
+                    f"set is unknowable; resolve manually (re-run the "
+                    f"correction above this LSN or drop the event)")
+            n = (src.filter((F.col(SYS_LSN) == lsn)
+                            & ~F.col(SYS_DELETED))
+                 .select(F.col(key))
+                 .join(corrected, key, "left_semi")
+                 .count())
+            if n:
+                raise CorrectionFenceCollision(
+                    f"batch carries {n} event(s) at LSN {lsn} for "
+                    f"key(s) a lake-side correction (commit "
+                    f"v{fences[lsn]}) stamped at that same LSN — "
+                    f"max-(lsn, deleted) reconciliation cannot order "
+                    f"two payloads at one (key, lsn); re-run the "
+                    f"correction on top of the new event "
+                    f"(update_where again) or drop the event, then "
+                    f"resume the stream")
 
     def _correction_keys(self, version: int,
                          fence_lsn: int) -> DataFrame | None:

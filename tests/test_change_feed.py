@@ -1058,7 +1058,8 @@ def test_compact_envelope_windows_squashes_and_scrubs(spark, tmp_path):
     publish_envelope_window(src, env)
 
     res = compact_envelope_windows(src, env)
-    assert res == {"runs_compacted": 1, "windows_in": 3}
+    assert res == {"runs_compacted": 1, "windows_in": 3,
+                   "overlaps_swept": 0}
     wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
     assert wins == ["window-00000000-00000003"]
 
@@ -1121,7 +1122,8 @@ def test_compact_envelope_windows_tombstone_drop_and_upto(
 
     res = compact_envelope_windows(src, env, upto_version=2,
                                    drop_tombstones=True)
-    assert res == {"runs_compacted": 1, "windows_in": 2}
+    assert res == {"runs_compacted": 1, "windows_in": 2,
+                   "overlaps_swept": 0}
     wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
     assert wins == ["window-00000000-00000002",
                     "window-00000002-00000003"]  # tail untouched
@@ -1192,7 +1194,8 @@ def test_compact_envelope_windows_respects_schema_boundary_and_badlines(
         f.write('{"torn upload\n')
 
     res = compact_envelope_windows(src, env)
-    assert res == {"runs_compacted": 2, "windows_in": 4}
+    assert res == {"runs_compacted": 2, "windows_in": 4,
+                   "overlaps_swept": 0}
     wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
     assert wins == ["window-00000000-00000002",   # the v1 run
                     "window-00000002-00000005"]   # the v2 run
@@ -1256,3 +1259,67 @@ def test_topic_windows_df_inspection(spark, tmp_path):
                           "bytes": w1["bytes"]
                           + rows["window-00000001-00000002"]["bytes"],
                           "high_water": 2, "low_water": 0}
+
+
+def test_compact_envelope_windows_bridges_empty_and_sweeps_overlap(
+        spark, tmp_path):
+    """An empty (maintenance-only) window joins a run instead of
+    fragmenting the topic around every maintenance pass, and the
+    startup sweep finishes a crashed compaction's interrupted cleanup
+    (a complete window fully covered by another is deleted)."""
+    import os
+    import shutil
+
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        compact_envelope_windows,
+        publish_envelope_window,
+    )
+
+    src = LakeTable.create(spark, str(tmp_path / "src"), FIELDS, "url",
+                           n_buckets=2)
+    env = str(tmp_path / "env")
+    src.merge(_batch(spark, [("u1", "a", 1, "I")]), batch_id="e-1")
+    publish_envelope_window(src, env)
+    src.compact(sort_by="url")         # maintenance-only commit...
+    publish_envelope_window(src, env)  # ...publishes an EMPTY window
+    src.merge(_batch(spark, [("u1", "a2", 5, "U"), ("u2", "b", 6, "I")]),
+              batch_id="e-2")
+    publish_envelope_window(src, env)
+
+    res = compact_envelope_windows(src, env)
+    assert res["runs_compacted"] == 1 and res["windows_in"] == 3
+    wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
+    assert wins == ["window-00000000-00000003"]
+
+    # simulate the crash window: a prior pass squashed 3..5, RENAMED
+    # the squashed window into place (complete, covering both), then
+    # crashed before deleting the constituents
+    src.merge(_batch(spark, [("u3", "c", 9, "I")]), batch_id="e-3")
+    publish_envelope_window(src, env)          # window 3-4
+    src.merge(_batch(spark, [("u4", "d", 12, "I")]), batch_id="e-4")
+    publish_envelope_window(src, env)          # window 4-5
+    covering = os.path.join(env, "window-00000003-00000005")
+    os.makedirs(covering)
+    for i, fn in enumerate(["window-00000003-00000004",
+                            "window-00000004-00000005"]):
+        for part in os.listdir(os.path.join(env, fn)):
+            if part.startswith("part-"):
+                shutil.copy(os.path.join(env, fn, part),
+                            os.path.join(covering, f"part-{i}-{part[5:]}"))
+    open(os.path.join(covering, "_SUCCESS"), "w").close()
+
+    res2 = compact_envelope_windows(src, env)
+    assert res2["overlaps_swept"] == 2         # both constituents
+    # after the sweep the surviving windows (0-3, 3-5) are contiguous
+    # and same-version, so the same pass squashes them further
+    assert res2["runs_compacted"] == 1
+    wins = sorted(d for d in os.listdir(env) if d.startswith("window-"))
+    assert wins == ["window-00000000-00000005"]
+
+    # replica over the compacted + swept topic converges completely
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=2)
+    apply_envelopes(rep, env)
+    assert ({r["url"] for r in rep.read().collect()}
+            == {"u1", "u2", "u3", "u4"})

@@ -456,3 +456,41 @@ def test_job_maintain_compacts_envelope_topic(spark, tmp_path):
     apply_envelopes(rep, env)
     assert ({r["url"]: r["text"] for r in rep.read().collect()}
             == {r["url"]: r["text"] for r in t.read().collect()})
+
+
+def test_job_row_ops_op_id_idempotent_rerun(spark, tmp_path):
+    """--op-id: rerunning a crashed maintenance invocation must not
+    double-apply a non-idempotent assignment."""
+    log_dir = str(tmp_path / "log_opid")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=2)
+    root = str(tmp_path / "t_opid")
+    main(["--log-dir", log_dir, "--table", root])
+
+    from pyspark.sql import functions as F
+
+    from clinical_trials_etl_spark.lake.table import LakeTable
+    t = LakeTable(spark, root)
+    base = {r["url"]: r["fetch_status"] for r in t.read().collect()}
+    args = ["--table", root, "--maintain",
+            "--update-where", "fetch_status IS NOT NULL",
+            "--update-set", "fetch_status=fetch_status + 1",
+            "--op-id", "ticket-123"]
+    r1 = main(args)
+    assert r1["update_where"]["updated_rows"] > 0
+    r2 = main(args)                      # the crash-rerun
+    assert r2["update_where"]["skipped"]
+    got = {r["url"]: r["fetch_status"] for r in t.read().collect()}
+    assert all(got[u] == (v + 1 if v is not None else None)
+               for u, v in base.items())
+
+
+def test_job_expire_older_than_alone_not_ignored(spark, tmp_path):
+    """--expire-older-than without --expire-keep must run the expiry
+    with the default floor, not silently do nothing."""
+    log_dir = str(tmp_path / "log_exp")
+    write_changelog_segments(spark, SPEC, log_dir, n_segments=2)
+    root = str(tmp_path / "t_exp")
+    main(["--log-dir", log_dir, "--table", root])
+    res = main(["--table", root, "--maintain",
+                "--expire-older-than", "3600"])
+    assert "expire" in res

@@ -401,3 +401,42 @@ def test_row_ops_randomized_fold_equivalence(spark, tmp_path):
             want = {u: (s[1], s[2]) for u, s in state.items()
                     if not s[3]}
             assert got == want, (seed, _step, kind, got, want)
+
+
+def test_fence_guard_covers_every_event_channel_and_exempts_deletes(
+        spark, tmp_path):
+    """The guard lives on LakeTable.merge, so a replica corrected
+    locally and fed via the envelope topic is covered too; a DELETE
+    at the fence is exempt — (lsn, deleted) ordering resolves it
+    deterministically in the source's favor."""
+    from clinical_trials_etl_spark.cdc.envelope import (
+        apply_envelopes,
+        publish_envelope_window,
+    )
+
+    src = _make(spark, tmp_path, name="src", n=3)
+    env = str(tmp_path / "env")
+    publish_envelope_window(src, env)
+    rep = LakeTable.create(spark, str(tmp_path / "rep"), FIELDS, "url",
+                           n_buckets=4)
+    apply_envelopes(rep, env)
+    res = rep.update_where("url = 'u1'", {"val": "999"})
+    fence = res["fence_lsn"]
+
+    # a DELETE event lands exactly on the replica's fence: exempt,
+    # deterministic, the key dies — (lsn, deleted) orders the
+    # tombstone above the correction at its own LSN. (Driven through
+    # merge directly: envelope deletes carry the pre-image LSN by
+    # convention, so that channel cannot mint a fence-LSN delete.)
+    rep.merge(_batch(spark, [("u1", None, None, fence, "D")]),
+              batch_id="d-1")
+    assert "u1" not in _state(rep)
+
+    # but a non-delete source event at a fresh fence for a corrected
+    # key is refused by the ENVELOPE consumer path too
+    res2 = rep.update_where("url = 'u2'", {"val": "888"})
+    f2 = res2["fence_lsn"]
+    src.merge(_batch(spark, [("u2", "hX", 1, f2, "U")]), batch_id="e-3")
+    publish_envelope_window(src, env)
+    with pytest.raises(CorrectionFenceCollision, match="stamped at"):
+        apply_envelopes(rep, env)
