@@ -3090,16 +3090,32 @@ class LakeTable:
                 hi = max(hi, int(row[0]))
         return hi
 
-    def _row_op_hits(self, snap: dict, predicate, columns=None):
+    def _row_op_hits(self, snap: dict, predicate, columns=None,
+                     between=None):
         """Live winners matching ``predicate`` plus their exact
         touched-bucket set and count (ONE narrow probe action — the
         same touched-hint seam cdc/apply.py uses, so the full source
-        pipeline feeds exactly the merge write)."""
+        pipeline feeds exactly the merge write). ``between`` bounds
+        the scan by manifest stats exactly as ``read(between=...)``
+        does — on a time-clustered table a time-bounded correction
+        touches O(window) files, not O(table)."""
         key = self.key_field(snap)
         pred = (F.expr(predicate) if isinstance(predicate, str)
                 else predicate)
-        hits = (self._read_reconciled(snap, None, columns)
-                .filter(~F.col(SYS_DELETED)).filter(pred))
+        if between is None:
+            base = self._read_reconciled(snap, None, columns)
+        else:
+            col, lo, hi = between
+            if lo is None and hi is None:
+                raise ValueError("between needs at least one bound")
+            cols = (None if columns is None
+                    else list(dict.fromkeys([*columns, col])))
+            base = self._read_skipping(snap, cols, col, lo, hi)
+            if lo is not None:
+                base = base.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                base = base.filter(F.col(col) <= F.lit(hi))
+        hits = base.filter(~F.col(SYS_DELETED)).filter(pred)
         probe = hits.select(
             self.bucket_expr(F.col(key)).alias("_b")
         ).agg(
@@ -3114,6 +3130,7 @@ class LakeTable:
         mode: str = "delta",
         batch_id: str | None = None,
         wap_id: str | None = None,
+        between: tuple | None = None,
     ) -> dict:
         """Predicate row-level delete (Iceberg ``DELETE FROM t WHERE
         p`` — the GDPR/right-to-erasure shape: 'delete every row for
@@ -3148,6 +3165,13 @@ class LakeTable:
         (textual match against field names — an over-match only
         widens the read); the merge gets the exact touched-bucket
         hint, so the whole op is one narrow probe + one merge write.
+        ``between=(col, lo, hi)`` ADDITIONALLY bounds the scan by
+        manifest stats (the ``read(between=...)`` machinery): on a
+        table compacted sorted/Z-ordered on a time column, the usual
+        'erase host X's pages from window W' correction plans
+        O(window) files instead of scanning the table — the predicate
+        still applies exactly on top, so the bound is an optimization,
+        never a semantics change.
         Composes with the rest of the table: ``batch_id`` gives
         exactly-once under retry, ``wap_id`` stages the delete for
         write-audit-publish, branches take it unchanged."""
@@ -3162,7 +3186,8 @@ class LakeTable:
         cols = [f["name"] for f in fields
                 if f["name"] == key
                 or re.search(rf"\b{re.escape(f['name'])}\b", pred_s)]
-        hits, touched, n = self._row_op_hits(snap, predicate, cols)
+        hits, touched, n = self._row_op_hits(snap, predicate, cols,
+                                             between)
         if n == 0:
             return {"skipped": True, "version": snap["version"],
                     "deleted_rows": 0}
@@ -3189,6 +3214,7 @@ class LakeTable:
         batch_id: str | None = None,
         wap_id: str | None = None,
         at_lsn: int | None = None,
+        between: tuple | None = None,
     ) -> dict:
         """Predicate row-level update (Iceberg ``UPDATE t SET ...
         WHERE p``): rewrite the matching live winners with
@@ -3256,7 +3282,8 @@ class LakeTable:
                   else str(predicate))
         sets = {c: (F.expr(v) if isinstance(v, str) else v)
                 for c, v in assignments.items()}
-        hits, touched, n = self._row_op_hits(snap, predicate)
+        hits, touched, n = self._row_op_hits(snap, predicate, None,
+                                             between)
         if n == 0:
             return {"skipped": True, "version": snap["version"],
                     "updated_rows": 0}

@@ -440,3 +440,43 @@ def test_fence_guard_covers_every_event_channel_and_exempts_deletes(
     publish_envelope_window(src, env)
     with pytest.raises(CorrectionFenceCollision, match="stamped at"):
         apply_envelopes(rep, env)
+
+
+def test_row_ops_between_bounds_scan_and_stays_exact(spark, tmp_path):
+    """between=(col, lo, hi) bounds the correction's probe scan by
+    manifest stats on a sorted-compacted table — fewer files planned,
+    identical result to the unbounded predicate."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, "url",
+                         n_buckets=2)
+    rows = [(f"u{i:03d}", f"h{i % 4}", i, i + 1, "I")
+            for i in range(400)]
+    t.merge(_batch(spark, rows), batch_id="e-1")
+    t.compact(sort_by="val", rows_per_file=50)
+    total_files = len(t.files())
+    assert total_files >= 8
+
+    # the probe plan under the bound touches a file subset
+    snap = t.snapshot()
+    hits, _b, n = t._row_op_hits(
+        snap, "host = 'h1' AND val BETWEEN 100 AND 149",
+        between=("val", 100, 149))
+    assert 0 < len(set(hits.inputFiles())) < total_files
+    assert n == 13                     # i=101,105,...,149
+
+    # bounded delete == unbounded delete on a twin table
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), FIELDS, "url",
+                          n_buckets=2)
+    t2.merge(_batch(spark, rows), batch_id="e-1")
+    t2.compact(sort_by="val", rows_per_file=50)
+    r1 = t.delete_where("host = 'h1' AND val BETWEEN 100 AND 149",
+                        between=("val", 100, 149))
+    r2 = t2.delete_where("host = 'h1' AND val BETWEEN 100 AND 149")
+    assert r1["deleted_rows"] == r2["deleted_rows"] == n
+    assert _state(t) == _state(t2)
+
+    # bounded update, same contract
+    r3 = t.update_where("val BETWEEN 200 AND 219", {"val": "val + 1000"},
+                        between=("val", 200, 219))
+    assert r3["updated_rows"] == 20
+    got = _state(t)
+    assert got["u205"] == ("h1", 1205)
