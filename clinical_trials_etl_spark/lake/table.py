@@ -3090,16 +3090,14 @@ class LakeTable:
                 hi = max(hi, int(row[0]))
         return hi
 
-    def _row_op_hits(self, snap: dict, predicate, columns=None,
-                     between=None):
-        """Live winners matching ``predicate`` plus their exact
-        touched-bucket set and count (ONE narrow probe action — the
-        same touched-hint seam cdc/apply.py uses, so the full source
-        pipeline feeds exactly the merge write). ``between`` bounds
-        the scan by manifest stats exactly as ``read(between=...)``
-        does — on a time-clustered table a time-bounded correction
-        touches O(window) files, not O(table)."""
-        key = self.key_field(snap)
+    def _row_op_base(self, snap: dict, predicate, columns=None,
+                     between=None) -> DataFrame:
+        """Live winners matching ``predicate``, optionally projected
+        to ``columns`` AT THE SCAN and bounded by the same manifest
+        stats ``read(between=...)`` uses — on a time-clustered table
+        a time-bounded correction touches O(window) files, not
+        O(table). The winner decision depends only on (lsn, deleted),
+        so any projection yields the same row set."""
         pred = (F.expr(predicate) if isinstance(predicate, str)
                 else predicate)
         if between is None:
@@ -3115,7 +3113,27 @@ class LakeTable:
                 base = base.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
                 base = base.filter(F.col(col) <= F.lit(hi))
-        hits = base.filter(~F.col(SYS_DELETED)).filter(pred)
+        return base.filter(~F.col(SYS_DELETED)).filter(pred)
+
+    def _pred_columns(self, fields: list[dict], key: str,
+                      predicate) -> list[str]:
+        """Key + the columns the predicate textually references — the
+        narrow projection the probe action reads (an over-match only
+        widens the read, never changes it)."""
+        pred_s = (predicate if isinstance(predicate, str)
+                  else str(predicate))
+        return [f["name"] for f in fields
+                if f["name"] == key
+                or re.search(rf"\b{re.escape(f['name'])}\b", pred_s)]
+
+    def _row_op_hits(self, snap: dict, predicate, columns=None,
+                     between=None):
+        """Live winners matching ``predicate`` plus their exact
+        touched-bucket set and count (ONE narrow probe action — the
+        same touched-hint seam cdc/apply.py uses, so the full source
+        pipeline feeds exactly the merge write)."""
+        key = self.key_field(snap)
+        hits = self._row_op_base(snap, predicate, columns, between)
         probe = hits.select(
             self.bucket_expr(F.col(key)).alias("_b")
         ).agg(
@@ -3183,9 +3201,7 @@ class LakeTable:
         fields = self.fields(snap)
         pred_s = (predicate if isinstance(predicate, str)
                   else str(predicate))
-        cols = [f["name"] for f in fields
-                if f["name"] == key
-                or re.search(rf"\b{re.escape(f['name'])}\b", pred_s)]
+        cols = self._pred_columns(fields, key, predicate)
         hits, touched, n = self._row_op_hits(snap, predicate, cols,
                                              between)
         if n == 0:
@@ -3282,11 +3298,16 @@ class LakeTable:
                   else str(predicate))
         sets = {c: (F.expr(v) if isinstance(v, str) else v)
                 for c, v in assignments.items()}
-        hits, touched, n = self._row_op_hits(snap, predicate, None,
-                                             between)
+        # probe narrow (key + predicate columns only — the payload
+        # must not cross the scan twice); the merge source reads full
+        # width separately, feeding exactly the one write action
+        _hits, touched, n = self._row_op_hits(
+            snap, predicate, self._pred_columns(fields, key, predicate),
+            between)
         if n == 0:
             return {"skipped": True, "version": snap["version"],
                     "updated_rows": 0}
+        hits = self._row_op_base(snap, predicate, None, between)
         src = hits.select(
             *[(sets[f["name"]].cast(_spark_type(f["type"]))
                .alias(f["name"])
